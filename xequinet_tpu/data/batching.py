@@ -1,0 +1,177 @@
+"""Padded static-shape batch collation — the core TPU departure from the
+reference's PyG dynamic batching (SURVEY.md §7.0).
+
+A batch has fixed capacities (n_nodes, n_edges, n_graphs).  Real graphs
+are concatenated; padding nodes/edges are assigned to the last (dummy)
+graph slot with NODE_MASK / EDGE_MASK / GRAPH_MASK marking validity.
+Capacities are chosen from power-of-two-ish buckets so XLA compiles a
+small, reusable set of programs even as molecule sizes vary
+(SURVEY.md §7.3 hard part #2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import keys
+from .datapoint import Datapoint
+
+
+class BatchSpec(Tuple):
+    pass
+
+
+def bucket_capacity(n: int, margin: float = 1.0, minimum: int = 8) -> int:
+    """Round up to the next bucket: {8, 16, 24, 32, 48, 64, 96, 128, ...}
+    (powers of two and midpoints — bounds padding waste by ~25%)."""
+    n = max(int(math.ceil(n * margin)), minimum)
+    p = 1 << (n - 1).bit_length()  # next power of two
+    half = p // 2 + p // 4
+    if n <= half and p >= 8:
+        return half
+    return p
+
+
+def collate(
+    datapoints: Sequence[Datapoint],
+    n_nodes: Optional[int] = None,
+    n_edges: Optional[int] = None,
+    n_graphs: Optional[int] = None,
+    dtype: np.dtype = np.float32,
+) -> Dict[str, np.ndarray]:
+    """Collate datapoints into one padded batch dict (host-side numpy).
+
+    Capacities default to bucketed sizes; n_graphs always includes one
+    dummy slot for padding nodes.  Label keys are included when present on
+    every datapoint.
+    """
+    total_nodes = sum(d.num_atoms for d in datapoints)
+    total_edges = sum(d.num_edges for d in datapoints)
+    if n_nodes is None:
+        n_nodes = bucket_capacity(total_nodes)
+    if n_edges is None:
+        n_edges = bucket_capacity(max(total_edges, 1))
+    if n_graphs is None:
+        n_graphs = len(datapoints) + 1
+    if total_nodes > n_nodes or total_edges > n_edges or len(datapoints) >= n_graphs:
+        raise ValueError(
+            f"batch overflow: nodes {total_nodes}/{n_nodes}, edges "
+            f"{total_edges}/{n_edges}, graphs {len(datapoints)}/{n_graphs - 1}"
+        )
+
+    G = n_graphs
+    dummy_graph = G - 1
+
+    atomic_numbers = np.zeros(n_nodes, dtype=np.int32)
+    pos = np.zeros((n_nodes, 3), dtype=dtype)
+    batch = np.full(n_nodes, dummy_graph, dtype=np.int32)
+    node_mask = np.zeros(n_nodes, dtype=bool)
+    edge_index = np.zeros((2, n_edges), dtype=np.int32)
+    cell_offsets = np.zeros((n_edges, 3), dtype=dtype)
+    edge_mask = np.zeros(n_edges, dtype=bool)
+    graph_mask = np.zeros(G, dtype=bool)
+    num_atoms = np.zeros(G, dtype=np.int32)
+    ptr = np.zeros(G + 1, dtype=np.int32)
+
+    any_cell = any(d.has_cell for d in datapoints)
+    cell = np.zeros((G, 3, 3), dtype=dtype) if any_cell else None
+    pbc = np.zeros((G, 3), dtype=bool) if any_cell else None
+
+    has = {
+        "charge": all(d.charge is not None for d in datapoints),
+        "spin": all(d.spin is not None for d in datapoints),
+        "energy": all(d.energy is not None for d in datapoints),
+        "forces": all(d.forces is not None for d in datapoints),
+        "virial": all(d.virial is not None for d in datapoints),
+        "atomic_charges": all(d.atomic_charges is not None for d in datapoints),
+        "dipole": all(d.dipole is not None for d in datapoints),
+        "polar": all(d.polar is not None for d in datapoints),
+    }
+    charge = np.zeros(G, dtype=np.int32)
+    spin = np.zeros(G, dtype=np.int32)
+    energy = np.zeros(G, dtype=dtype)
+    forces = np.zeros((n_nodes, 3), dtype=dtype)
+    virial = np.zeros((G, 3, 3), dtype=dtype)
+    atomic_charges = np.zeros(n_nodes, dtype=dtype)
+    dipole = np.zeros((G, 3), dtype=dtype)
+    polar = np.zeros((G, 3, 3), dtype=dtype)
+
+    node_off = 0
+    edge_off = 0
+    for g, d in enumerate(datapoints):
+        n, e = d.num_atoms, d.num_edges
+        sl = slice(node_off, node_off + n)
+        atomic_numbers[sl] = d.atomic_numbers
+        pos[sl] = d.pos
+        batch[sl] = g
+        node_mask[sl] = True
+        if e:
+            esl = slice(edge_off, edge_off + e)
+            edge_index[:, esl] = d.edge_index + node_off
+            if d.cell_offsets is not None:
+                cell_offsets[esl] = d.cell_offsets
+            edge_mask[esl] = True
+        graph_mask[g] = True
+        num_atoms[g] = n
+        ptr[g + 1] = ptr[g] + n
+        if any_cell:
+            if d.cell is not None:
+                cell[g] = d.cell
+                pbc[g] = d.pbc
+            else:
+                cell[g] = np.eye(3)  # inert placeholder, no offsets reference it
+        if has["charge"]:
+            charge[g] = d.charge
+        if has["spin"]:
+            spin[g] = d.spin
+        if has["energy"]:
+            energy[g] = d.energy
+        if has["forces"]:
+            forces[sl] = d.forces
+        if has["virial"]:
+            virial[g] = d.virial
+        if has["atomic_charges"]:
+            atomic_charges[sl] = d.atomic_charges
+        if has["dipole"]:
+            dipole[g] = d.dipole
+        if has["polar"]:
+            polar[g] = d.polar
+        node_off += n
+        edge_off += e
+    ptr[len(datapoints) + 1 :] = ptr[len(datapoints)]
+
+    out: Dict[str, np.ndarray] = {
+        keys.ATOMIC_NUMBERS: atomic_numbers,
+        keys.POSITIONS: pos,
+        keys.BATCH: batch,
+        keys.NODE_MASK: node_mask,
+        keys.EDGE_INDEX: edge_index,
+        keys.EDGE_MASK: edge_mask,
+        keys.GRAPH_MASK: graph_mask,
+        keys.NUM_ATOMS: num_atoms,
+        keys.BATCH_PTR: ptr,
+    }
+    if any_cell:
+        out[keys.CELL] = cell
+        out[keys.PBC] = pbc
+        out[keys.CELL_OFFSETS] = cell_offsets
+    if has["charge"]:
+        out[keys.TOTAL_CHARGE] = charge
+    if has["spin"]:
+        out[keys.TOTAL_SPIN] = spin
+    if has["energy"]:
+        out[keys.TOTAL_ENERGY] = energy
+    if has["forces"]:
+        out[keys.FORCES] = forces
+    if has["virial"]:
+        out[keys.VIRIAL] = virial
+    if has["atomic_charges"]:
+        out[keys.ATOMIC_CHARGES] = atomic_charges
+    if has["dipole"]:
+        out[keys.DIPOLE] = dipole
+    if has["polar"]:
+        out[keys.POLARIZABILITY] = polar
+    return out

@@ -1,0 +1,123 @@
+"""Model assembly and factory: XPaiNN and friends as ordered block stacks.
+
+TPU-native counterpart of /root/reference/xequinet/nn/model.py.  A model
+is a flax module holding an ordered list of dict->dict blocks (the
+blackboard design of SURVEY.md §1); the full forward with autodiff
+properties is produced by :func:`build_model` +
+``models.properties.make_forward``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .. import keys
+from ..ops.irreps import Irreps
+from .electronic import ChargeEmbedding, SpinEmbedding
+from .output import OUTPUT_EXTRA_PROPERTIES, resolve_output
+from .xpainn import XEmbedding, XPainnMessage, XPainnUpdate
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+
+class BlockStack(nn.Module):
+    """Threads the data dict through an ordered sequence of blocks
+    (reference nn/model.py:18-46 BaseModel.forward middle section)."""
+
+    blocks: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, data: DataDict) -> DataDict:
+        for block in self.blocks:
+            data = block(data)
+        return data
+
+
+def _as_list(modes: Union[None, str, Sequence[str]]) -> List[str]:
+    if modes is None:
+        return ["energy"]
+    if isinstance(modes, str):
+        return [modes]
+    return list(modes)
+
+
+def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
+    """XPaiNN: XEmbedding -> [Charge/SpinEmbedding] -> N x (Message, Update)
+    -> output heads (reference nn/model.py:49-123).
+
+    Returns (module, extra_properties, cutoff_radius).
+    """
+    node_dim: int = kwargs.get("node_dim", 128)
+    node_irreps = Irreps(kwargs.get("node_irreps", "128x0e + 64x1o + 32x2e"))
+    embed_basis: str = kwargs.get("embed_basis", "gfn2-xtb")
+    aux_basis: str = kwargs.get("aux_basis", "aux56")
+    num_basis: int = kwargs.get("num_basis", 20)
+    rbf_kernel: str = kwargs.get("rbf_kernel", "bessel")
+    cutoff: float = kwargs.get("cutoff", 5.0)
+    cutoff_fn: str = kwargs.get("cutoff_fn", "cosine")
+    action_blocks: int = kwargs.get("action_blocks", 3)
+    activation: str = kwargs.get("activation", "silu")
+    layer_norm: bool = kwargs.get("layer_norm", True)
+    charge_embed: bool = kwargs.get("charge_embed", False)
+    spin_embed: bool = kwargs.get("spin_embed", False)
+    output_modes = _as_list(kwargs.get("output_modes", ["energy"]))
+
+    blocks: List[nn.Module] = [
+        XEmbedding(
+            node_dim=node_dim,
+            node_irreps=node_irreps,
+            embed_basis=embed_basis,
+            aux_basis=aux_basis,
+            num_basis=num_basis,
+            rbf_kernel=rbf_kernel,
+            cutoff=cutoff,
+            cutoff_fn=cutoff_fn,
+        )
+    ]
+    if charge_embed:
+        blocks.append(ChargeEmbedding(node_dim=node_dim, activation=activation))
+    if spin_embed:
+        blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
+    for _ in range(action_blocks):
+        blocks.append(
+            XPainnMessage(
+                node_dim=node_dim,
+                node_irreps=node_irreps,
+                num_basis=num_basis,
+                activation=activation,
+                layer_norm=layer_norm,
+            )
+        )
+        blocks.append(
+            XPainnUpdate(
+                node_dim=node_dim,
+                node_irreps=node_irreps,
+                activation=activation,
+                layer_norm=layer_norm,
+            )
+        )
+    extra_properties: List[str] = []
+    for mode in output_modes:
+        head_kwargs = dict(kwargs)
+        head_kwargs.setdefault("node_irreps", node_irreps)
+        blocks.append(resolve_output(mode, **head_kwargs))
+        extra_properties.extend(OUTPUT_EXTRA_PROPERTIES[mode])
+
+    return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
+
+
+MODEL_BUILDERS = {
+    "xpainn": build_xpainn,
+}
+
+
+def resolve_model(model_name: str, **kwargs: Any):
+    """Model factory (reference nn/model.py:310-318)."""
+    name = model_name.lower()
+    if name not in MODEL_BUILDERS:
+        raise NotImplementedError(f"Unsupported model {model_name}")
+    return MODEL_BUILDERS[name](**kwargs)

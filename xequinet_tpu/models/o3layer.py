@@ -1,0 +1,137 @@
+"""Equivariant layers with parameters: O3Linear, Gate, EquivariantLayerNorm,
+and the weighted TensorProduct module.
+
+TPU-native counterpart of /root/reference/xequinet/nn/o3layer.py plus the
+e3nn ``o3.Linear`` / ``o3.TensorProduct`` modules it instantiates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.irreps import Irreps
+from ..ops.o3ops import equivariant_layer_norm, invariant, scalar_gate
+from ..ops.tensor_product import TensorProduct
+from .basic import resolve_activation
+
+
+class O3Linear(nn.Module):
+    """Equivariant linear layer: mixes multiplicities within each (l, p).
+
+    Semantics of e3nn ``o3.Linear(irreps_in, irreps_out, biases=...)``
+    (used at reference nn/xpainn.py:186-187, nn/output.py:215-217 etc.):
+    weights init ~ N(0,1), forward scaled by 1/sqrt(fan_in); biases only
+    on even scalar outputs.
+    """
+
+    irreps_in: Irreps
+    irreps_out: Irreps
+    biases: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        irreps_in = Irreps(self.irreps_in)
+        irreps_out = Irreps(self.irreps_out)
+        sl_in = irreps_in.slices()
+
+        out = []
+        for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+            paths = [
+                (i_in, mi) for i_in, mi in enumerate(irreps_in) if mi.ir == ir_out
+            ]
+            fan_in = sum(mi.mul for _, mi in paths)
+            acc = None
+            for i_in, mi in paths:
+                w = self.param(
+                    f"w{i_out}_{i_in}",
+                    nn.initializers.normal(stddev=1.0),
+                    (mi.mul, mul_out),
+                )
+                xc = x[..., sl_in[i_in]].reshape(
+                    x.shape[:-1] + (mi.mul, ir_out.dim)
+                )
+                y = jnp.einsum(
+                    "...um,uv->...vm", xc, w, precision=lax.Precision.HIGHEST
+                )
+                acc = y if acc is None else acc + y
+            if acc is None:
+                acc = jnp.zeros(x.shape[:-1] + (mul_out, ir_out.dim), dtype=x.dtype)
+            else:
+                acc = acc / np.sqrt(max(fan_in, 1))
+            if self.biases and ir_out.l == 0 and ir_out.p == 1:
+                b = self.param(
+                    f"b{i_out}", nn.initializers.zeros, (mul_out,)
+                )
+                acc = acc + b[..., None]
+            out.append(acc.reshape(acc.shape[:-2] + (mul_out * ir_out.dim,)))
+        return jnp.concatenate(out, axis=-1)
+
+
+class Gate(nn.Module):
+    """Invariant -> activation -> channel-wise gate
+    (reference nn/o3layer.py:47-75)."""
+
+    irreps: Irreps
+    activation: str = "silu"
+    refine: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        irreps = Irreps(self.irreps).simplify()
+        x_inv = invariant(x, irreps)
+        if self.refine:
+            act = resolve_activation(self.activation, devide_x=True)
+            h = nn.Dense(irreps.num_irreps, bias_init=nn.initializers.zeros)(x_inv)
+            h = act(h)
+            gates = nn.Dense(irreps.num_irreps, bias_init=nn.initializers.zeros)(h)
+        else:
+            act = resolve_activation(self.activation, devide_x=True)
+            gates = act(x_inv)
+        return scalar_gate(x, gates, irreps)
+
+
+class EquivariantLayerNorm(nn.Module):
+    """Equivariant LayerNorm (reference nn/o3layer.py:112-171)."""
+
+    irreps: Irreps
+    affine: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        irreps = Irreps(self.irreps)
+        num_scalar = sum(mul for mul, ir in irreps if ir.l == 0 and ir.p == 1)
+        if self.affine:
+            weight = self.param(
+                "weight", nn.initializers.ones, (irreps.num_irreps,)
+            )
+            bias = self.param("bias", nn.initializers.zeros, (max(num_scalar, 1),))
+        else:
+            weight = jnp.ones((irreps.num_irreps,))
+            bias = jnp.zeros((max(num_scalar, 1),))
+        return equivariant_layer_norm(x, irreps, weight, bias, self.eps)
+
+
+class TensorProductModule(nn.Module):
+    """Weighted tensor product with internal shared weights
+    (e3nn ``o3.TensorProduct(..., internal_weights=True)``, used by
+    SelfMixTP at reference nn/xe3net.py:141-150)."""
+
+    tp: TensorProduct  # compiled, static
+
+    @nn.compact
+    def __call__(
+        self, x1: jnp.ndarray, x2: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        if weights is None and self.tp.weight_numel > 0:
+            weights = self.param(
+                "weight",
+                nn.initializers.normal(stddev=1.0),
+                (self.tp.weight_numel,),
+            )
+        return self.tp.apply(x1, x2, weights)

@@ -1,0 +1,174 @@
+"""XPaiNN blocks: embedding, message, update.
+
+TPU-native re-design of /root/reference/xequinet/nn/xpainn.py.  Each block
+is a pure flax module mapping the blackboard dict -> dict (SURVEY.md §1);
+neighbor gathers are ``jnp.take`` and aggregation is a masked
+``segment_sum`` with static ``num_segments`` (replacing torch
+index_select/index_add at reference nn/xpainn.py:142-159).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .. import keys
+from ..ops.irreps import Irreps
+from ..ops.o3ops import equivariant_dot, invariant, scalar_gate
+from ..ops.scatter import segment_sum
+from ..ops.spherical import spherical_harmonics
+from .basic import AtomEmbedding, resolve_activation
+from .o3layer import EquivariantLayerNorm, O3Linear
+from .rbf import resolve_cutoff, resolve_rbf
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+
+class XEmbedding(nn.Module):
+    """Node embedding + edge basis (reference nn/xpainn.py:14-83).
+
+    Writes NODE_INVARIANT, RADIAL_BASIS_FUNCTION, ENVELOPE_FUNCTION,
+    SPHERICAL_HARMONICS ([x,y,z] -> [y,z,x] permuted into the irrep basis)
+    and zero NODE_EQUIVARIANT.
+    """
+
+    node_dim: int = 128
+    node_irreps: Irreps = Irreps("128x0e+64x1o+32x2e")
+    embed_basis: str = "gfn2-xtb"
+    aux_basis: str = "aux56"
+    num_basis: int = 20
+    rbf_kernel: str = "bessel"
+    cutoff: float = 5.0
+    cutoff_fn: str = "cosine"
+
+    @nn.compact
+    def __call__(self, data: DataDict) -> DataDict:
+        irreps = Irreps(self.node_irreps)
+        atomic_numbers = data[keys.ATOMIC_NUMBERS]
+        vectors = data[keys.EDGE_VECTOR]
+        distances = data[keys.EDGE_LENGTH][..., None]
+
+        embed_table = None
+        if self.embed_basis != "one-hot":
+            from ..utils.qc import get_embedding_table
+
+            embed_table = get_embedding_table(self.embed_basis, self.aux_basis)
+        node_invariant = AtomEmbedding(
+            node_dim=self.node_dim, embed_table=embed_table
+        )(atomic_numbers)
+        data[keys.NODE_INVARIANT] = node_invariant
+
+        rbf = resolve_rbf(self.rbf_kernel, self.num_basis, self.cutoff)(distances)
+        fcut = resolve_cutoff(self.cutoff_fn, self.cutoff)(distances)
+        data[keys.RADIAL_BASIS_FUNCTION] = rbf
+        data[keys.ENVELOPE_FUNCTION] = fcut
+
+        # [x, y, z] -> [y, z, x]: into the irrep basis, as the reference
+        # does at nn/xpainn.py:70-74
+        vec_irrep = vectors[..., jnp.asarray([1, 2, 0])]
+        rsh = spherical_harmonics(irreps, vec_irrep, normalize=True)
+        data[keys.SPHERICAL_HARMONICS] = rsh
+
+        data[keys.NODE_EQUIVARIANT] = jnp.zeros(
+            (node_invariant.shape[0], irreps.dim), dtype=node_invariant.dtype
+        )
+        return data
+
+
+class XPainnMessage(nn.Module):
+    """Message block (reference nn/xpainn.py:86-161)."""
+
+    node_dim: int = 128
+    node_irreps: Irreps = Irreps("128x0e+64x1o+32x2e")
+    num_basis: int = 20
+    activation: str = "silu"
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, data: DataDict) -> DataDict:
+        irreps = Irreps(self.node_irreps)
+        num_irreps = irreps.num_irreps
+        hidden_dim = self.node_dim + num_irreps * 2
+        act = resolve_activation(self.activation)
+
+        node_scalar = data[keys.NODE_INVARIANT]
+        node_equi = data[keys.NODE_EQUIVARIANT]
+        if self.layer_norm:
+            node_scalar = nn.LayerNorm(epsilon=1e-5)(node_scalar)
+            node_equi = EquivariantLayerNorm(irreps=irreps)(node_equi)
+        rbf = data[keys.RADIAL_BASIS_FUNCTION]
+        fcut = data[keys.ENVELOPE_FUNCTION]
+        rsh = data[keys.SPHERICAL_HARMONICS]
+        edge_index = data[keys.EDGE_INDEX]
+        center_idx = edge_index[keys.CENTER_IDX]
+        neighbor_idx = edge_index[keys.NEIGHBOR_IDX]
+        edge_mask = data[keys.EDGE_MASK]
+        n_nodes = node_scalar.shape[0]
+
+        h = nn.Dense(self.node_dim)(node_scalar)
+        h = act(h)
+        scalar_out = nn.Dense(hidden_dim)(h)
+        filter_weight = nn.Dense(hidden_dim)(rbf) * fcut
+
+        filter_out = jnp.take(scalar_out, neighbor_idx, axis=0) * filter_weight
+        gate_state_equi = filter_out[..., :num_irreps]
+        gate_edge_equi = filter_out[..., num_irreps : 2 * num_irreps]
+        message_scalar = filter_out[..., 2 * num_irreps :]
+
+        message_equi = scalar_gate(
+            jnp.take(node_equi, neighbor_idx, axis=0), gate_state_equi, irreps
+        ) + scalar_gate(rsh, gate_edge_equi, irreps)
+
+        data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + segment_sum(
+            message_scalar, center_idx, n_nodes, edge_mask
+        )
+        data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + segment_sum(
+            message_equi, center_idx, n_nodes, edge_mask
+        )
+        return data
+
+
+class XPainnUpdate(nn.Module):
+    """Update block (reference nn/xpainn.py:164-231)."""
+
+    node_dim: int = 128
+    node_irreps: Irreps = Irreps("128x0e+64x1o+32x2e")
+    activation: str = "silu"
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, data: DataDict) -> DataDict:
+        irreps = Irreps(self.node_irreps)
+        num_irreps = irreps.num_irreps
+        act = resolve_activation(self.activation)
+
+        node_scalar = data[keys.NODE_INVARIANT]
+        node_equi = data[keys.NODE_EQUIVARIANT]
+        if self.layer_norm:
+            node_scalar = nn.LayerNorm(epsilon=1e-5)(node_scalar)
+            node_equi = EquivariantLayerNorm(irreps=irreps)(node_equi)
+
+        u_equi = O3Linear(irreps, irreps, biases=True)(node_equi)
+        v_equi = O3Linear(irreps, irreps, biases=True)(node_equi)
+
+        v_scalar = invariant(v_equi, irreps)
+        mlp_in = jnp.concatenate([node_scalar, v_scalar], axis=-1)
+        h = nn.Dense(self.node_dim)(mlp_in)
+        h = act(h)
+        mlp_out = nn.Dense(self.node_dim * 2 + num_irreps)(h)
+
+        a_vv = mlp_out[..., :num_irreps]
+        a_sv = mlp_out[..., num_irreps : num_irreps + self.node_dim]
+        a_ss = mlp_out[..., num_irreps + self.node_dim :]
+
+        d_equi = scalar_gate(u_equi, a_vv, irreps)
+        inner = equivariant_dot(u_equi, v_equi, irreps)
+        inner = nn.Dense(self.node_dim, use_bias=False)(inner)
+        d_scalar = a_sv * inner + a_ss
+
+        data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + d_scalar
+        data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + d_equi
+        return data

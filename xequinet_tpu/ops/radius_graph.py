@@ -1,0 +1,172 @@
+"""Neighbor-list construction: cutoff radius graphs, with and without PBC.
+
+TPU-native replacement for torch-cluster's ``radius_graph`` and the
+reference's batched PBC neighbor search
+(/root/reference/xequinet/data/radius_graph.py).  Two families:
+
+* host-side numpy builders used by the data pipeline (variable sizes are
+  fine there; results are padded to static capacities before device
+  transfer), and
+* jit-able fixed-capacity builders for the MD/inference path where the
+  neighbor list must be rebuilt on device every step
+  (reference interface/jit_model.py:189-195 builds in-graph lists too).
+
+Convention matches the reference: edge (center i, neighbor j) for every
+ordered pair with 0 < |r_i - r_j + shift| < cutoff; vectors point from
+neighbor to center... precisely, vectors = pos[center] - pos[neighbor]
+- offsets @ cell (reference nn/basic.py:109-128).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) builders — data pipeline
+# ---------------------------------------------------------------------------
+
+
+def radius_graph_np(
+    pos: np.ndarray, cutoff: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """O(N^2) non-PBC neighbor search on host.
+
+    Returns (edge_index [2, E], cell_offsets [E, 3] zeros).
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    diff = pos[:, None, :] - pos[None, :, :]
+    dist2 = np.einsum("ijk,ijk->ij", diff, diff)
+    n = pos.shape[0]
+    mask = (dist2 < cutoff * cutoff) & ~np.eye(n, dtype=bool)
+    center, neighbor = np.nonzero(mask)
+    edge_index = np.stack([center, neighbor]).astype(np.int64)
+    return edge_index, np.zeros((edge_index.shape[1], 3), dtype=np.float64)
+
+
+def _num_repeats(cell: np.ndarray, pbc: np.ndarray, cutoff: float) -> np.ndarray:
+    """Cell replications needed per lattice direction: distance between
+    opposite cell faces must cover the cutoff (same math as reference
+    data/radius_graph.py:61-89, re-derived: n_k = ceil(cutoff * |b_k| / 2π)
+    with b the reciprocal vectors ... equivalently cutoff / plane_distance)."""
+    # plane distance along direction k = |det(cell)| / |a_i x a_j|
+    vol = np.abs(np.linalg.det(cell))
+    reps = np.zeros(3, dtype=np.int64)
+    for k in range(3):
+        i, j = (k + 1) % 3, (k + 2) % 3
+        cross = np.cross(cell[i], cell[j])
+        plane_d = vol / np.linalg.norm(cross)
+        reps[k] = int(np.ceil(cutoff / plane_d)) if pbc[k] else 0
+    return reps
+
+
+def wrap_positions(
+    pos: np.ndarray, cell: np.ndarray, pbc: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Wrap positions into the unit cell; returns (wrapped, integer shifts)
+    with pos = wrapped + shifts @ cell (reference data/radius_graph.py:6-32)."""
+    frac = pos @ np.linalg.inv(cell)
+    shifts = np.floor(frac)
+    shifts[:, ~pbc.astype(bool)] = 0.0
+    wrapped = (frac - shifts) @ cell
+    return wrapped, shifts.astype(np.int64)
+
+
+def radius_graph_pbc_np(
+    pos: np.ndarray,
+    cell: np.ndarray,
+    pbc: np.ndarray,
+    cutoff: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PBC neighbor search for a single graph on host.
+
+    Returns (edge_index [2, E], cell_offsets [E, 3] ints) such that
+    vec = pos[center] - pos[neighbor] - offsets @ cell has |vec| < cutoff.
+    Offsets are corrected for the wrap shift so they apply to the
+    *original* (unwrapped) positions, like reference
+    data/radius_graph.py:157-192.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    cell = np.asarray(cell, dtype=np.float64).reshape(3, 3)
+    pbc = np.asarray(pbc).reshape(3).astype(bool)
+    n = pos.shape[0]
+    if not pbc.any():
+        return radius_graph_np(pos, cutoff)
+
+    wrapped, wrap_shifts = wrap_positions(pos, cell, pbc)
+    reps = _num_repeats(cell, pbc, cutoff)
+    ranges = [np.arange(-r, r + 1) for r in reps]
+    offsets = np.stack(
+        np.meshgrid(*ranges, indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # [n_img, 3]
+    shift_vecs = offsets @ cell  # [n_img, 3]
+
+    # image positions of every neighbor candidate
+    img_pos = wrapped[None, :, :] + shift_vecs[:, None, :]  # [n_img, N, 3]
+    edges_c, edges_n, edges_o = [], [], []
+    c2 = cutoff * cutoff
+    for a, off in enumerate(offsets):
+        d = wrapped[:, None, :] - img_pos[a][None, :, :]  # center - neighbor_img
+        dist2 = np.einsum("ijk,ijk->ij", d, d)
+        mask = dist2 < c2
+        if (off == 0).all():
+            np.fill_diagonal(mask, False)
+        ci, ni = np.nonzero(mask)
+        if ci.size:
+            edges_c.append(ci)
+            edges_n.append(ni)
+            edges_o.append(np.broadcast_to(-off, (ci.size, 3)))
+    if not edges_c:
+        return (
+            np.zeros((2, 0), dtype=np.int64),
+            np.zeros((0, 3), dtype=np.int64),
+        )
+    center = np.concatenate(edges_c)
+    neighbor = np.concatenate(edges_n)
+    cell_offsets = np.concatenate(edges_o).astype(np.int64)
+    # correct for the wrapping so offsets apply to original positions:
+    # orig = wrapped + wrap_shift @ cell  =>
+    # orig_c - orig_n - O'@cell = wrapped_c - wrapped_n - O@cell
+    # with O' = O - wrap_shift_c + wrap_shift_n
+    cell_offsets = cell_offsets - wrap_shifts[center] + wrap_shifts[neighbor]
+    return np.stack([center, neighbor]), cell_offsets
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jit-able) builders — MD / inference path
+# ---------------------------------------------------------------------------
+
+
+def radius_graph_fixed(
+    pos: jnp.ndarray,
+    cutoff: float,
+    max_edges: int,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jit-able non-PBC neighbor search with a fixed edge capacity.
+
+    Returns (edge_index [2, max_edges], edge_mask [max_edges],
+    n_edges_found []).  Overflow is detectable via n_edges_found >
+    max_edges.  O(N^2) masked distance matrix — appropriate for molecular
+    sizes; use the celllist path for large periodic systems.
+    """
+    n = pos.shape[0]
+    diff = pos[:, None, :] - pos[None, :, :]
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    valid = (dist2 < cutoff * cutoff) & ~jnp.eye(n, dtype=bool)
+    if node_mask is not None:
+        valid = valid & node_mask[:, None] & node_mask[None, :]
+    flat = valid.reshape(-1)
+    n_found = jnp.sum(flat.astype(jnp.int32))
+    # stable top-k trick: argsort puts True (1) first when negated
+    order = jnp.argsort(~flat, stable=True)[:max_edges]
+    center = order // n
+    neighbor = order % n
+    edge_mask = jnp.take(flat, order)
+    # padding edges point at node 0; they are masked out downstream
+    center = jnp.where(edge_mask, center, 0)
+    neighbor = jnp.where(edge_mask, neighbor, 0)
+    return jnp.stack([center, neighbor]).astype(jnp.int32), edge_mask, n_found

@@ -1,0 +1,54 @@
+"""Segment scatter/gather ops over padded, static-shape graphs.
+
+TPU-native replacement for torch-scatter (reference dependency,
+environment.yaml:108; used at nn/output.py:7, nn/xpainn.py:142-159 via
+index_add/index_select).  All ops take a static ``num_segments`` so XLA
+sees fixed shapes; padded rows are masked to zero *before* the scatter so
+they contribute nothing regardless of their (dummy) segment index.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    src: jnp.ndarray,
+    index: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sum of ``src`` rows into ``num_segments`` buckets.
+
+    src: [M, ...], index: [M] int, mask: [M] bool or None.
+    """
+    if mask is not None:
+        src = jnp.where(_expand(mask, src.ndim), src, 0)
+    return jax.ops.segment_sum(src, index, num_segments=num_segments)
+
+
+def segment_mean(
+    src: jnp.ndarray,
+    index: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    total = segment_sum(src, index, num_segments, mask)
+    ones = jnp.ones(src.shape[:1], dtype=src.dtype)
+    count = segment_sum(ones, index, num_segments, mask)
+    return total / jnp.maximum(count, eps)[
+        (...,) + (None,) * (total.ndim - count.ndim)
+    ]
+
+
+def gather_nodes(x: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """x[index] — neighbor/center feature gather (torch index_select)."""
+    return jnp.take(x, index, axis=0)
+
+
+def _expand(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return mask.reshape(mask.shape + (1,) * (ndim - mask.ndim))
