@@ -105,8 +105,9 @@ class AtomEmbedding(nn.Module):
                 nn.initializers.normal(stddev=1.0),
                 (100, self.node_dim),
             )
-            # row 0 is the padding element and must stay zero
-            table = table.at[0].set(0.0)
+            # row 0 is the padding element and must stay zero (params may
+            # arrive as numpy after checkpoint restore — normalize first)
+            table = jnp.asarray(table).at[0].set(0.0)
             return jnp.take(table, atomic_numbers, axis=0)
         fixed = jnp.asarray(self.embed_table, dtype=jnp.float32)
         feats = jnp.take(fixed, atomic_numbers, axis=0)

@@ -121,3 +121,27 @@ def resolve_model(model_name: str, **kwargs: Any):
     if name not in MODEL_BUILDERS:
         raise NotImplementedError(f"Unsupported model {model_name}")
     return MODEL_BUILDERS[name](**kwargs)
+
+
+def make_apply_forward(module: BlockStack, extra_properties=None):
+    """Bind a BlockStack into the trainer's ``apply_forward(params, batch,
+    compute_forces, compute_virial)`` signature."""
+    from .properties import make_forward
+
+    def apply_forward(params, batch, compute_forces=True, compute_virial=False):
+        fwd = make_forward(
+            lambda d: module.apply({"params": params}, d), extra_properties
+        )
+        return fwd(batch, compute_forces, compute_virial)
+
+    return apply_forward
+
+
+def init_params(module: BlockStack, sample_batch: DataDict, seed: int = 0):
+    """Initialize parameters from one (host) sample batch."""
+    import jax
+
+    from .properties import compute_edge_data
+
+    data = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    return module.init(jax.random.PRNGKey(seed), compute_edge_data(data))["params"]

@@ -1,0 +1,459 @@
+"""The Trainer: jitted train/valid steps, EMA, best-k checkpoints,
+early stopping, plateau scheduling, resume.
+
+TPU-native counterpart of /root/reference/xequinet/utils/trainer.py.  The
+per-step work (forward incl. force autodiff, loss, grad, clip, optimizer
+update, EMA) is one jitted function; host code only orchestrates epochs,
+logging and checkpoints.  Data parallelism comes from wrapping
+``train_step`` with the mesh helpers in parallel/ (grad psum replaces DDP
+all-reduce, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from .. import keys
+from ..utils.config import XequiConfig, config_to_dict
+from .loss import ErrorMetric, MetricAccumulator, WeightedLoss
+from .lr_schedule import PlateauScheduler, resolve_lr_schedule, resolve_optimizer
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+
+# ---------------------------------------------------------------------------
+# Early stopping (reference utils/trainer.py:78-131)
+# ---------------------------------------------------------------------------
+@dataclass
+class EarlyStopping:
+    patience: int = 50
+    threshold: float = 1e-4
+    lower_bound: Optional[float] = None
+    best: float = math.inf
+    num_bad: int = 0
+
+    def step(self, metric: float) -> bool:
+        """Returns True when training should stop."""
+        if self.lower_bound is not None and metric < self.lower_bound:
+            return True
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        return self.num_bad > self.patience
+
+
+class MultiEarlyStopping:
+    """Combine several per-metric criteria with 'and' / 'or'
+    (reference utils/trainer.py:108-131; the reference's broken 3-arg call
+    at trainer.py:389 is not replicated)."""
+
+    def __init__(self, stoppings: Dict[str, Dict], mode: str = "and") -> None:
+        self.stoppings = {
+            prop: EarlyStopping(**cfg) for prop, cfg in (stoppings or {}).items()
+        }
+        assert mode in ("and", "or")
+        self.mode = mode
+
+    def step(self, metrics: Dict[str, float]) -> bool:
+        if not self.stoppings:
+            return False
+        votes = [
+            es.step(metrics[prop])
+            for prop, es in self.stoppings.items()
+            if prop in metrics
+        ]
+        if not votes:
+            return False
+        return all(votes) if self.mode == "and" else any(votes)
+
+
+# ---------------------------------------------------------------------------
+# Train state
+# ---------------------------------------------------------------------------
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: int = 0
+
+
+def make_train_step(
+    apply_forward: Callable[[Any, DataDict, bool, bool], DataDict],
+    lossfn: WeightedLoss,
+    optimizer: optax.GradientTransformation,
+    compute_forces: bool,
+    compute_virial: bool,
+    grad_clip: Optional[float],
+    ema_decay: Optional[float],
+    metric: ErrorMetric,
+):
+    """Build the jitted train step (reference train1epoch body,
+    utils/trainer.py:287-351)."""
+
+    def step_fn(state: Tuple, batch: DataDict, lr_scale: Array):
+        params, opt_state, ema_params = state
+
+        def loss_of(p):
+            out = apply_forward(p, batch, compute_forces, compute_virial)
+            total, losses = lossfn(out, batch)
+            return total, (out, losses)
+
+        (loss, (out, losses)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params
+        )
+        if grad_clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        # host-controlled plateau scaling: updates are proportional to the
+        # learning rate after the optimizer chain, so scaling them scales
+        # the effective LR (reference SmoothReduceLROnPlateau role)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema_params,
+                params,
+            )
+        metrics = metric(out, batch)
+        return (params, opt_state, ema_params), loss, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(
+    apply_forward: Callable,
+    compute_forces: bool,
+    compute_virial: bool,
+    metric: ErrorMetric,
+):
+    def eval_fn(params, batch: DataDict):
+        out = apply_forward(params, batch, compute_forces, compute_virial)
+        return metric(out, batch)
+
+    return jax.jit(eval_fn)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint I/O (reference utils/trainer.py:251-285; torch-free)
+# ---------------------------------------------------------------------------
+def save_checkpoint(
+    path: str,
+    params: Any,
+    config: Dict[str, Any],
+    *,
+    ema_params: Any = None,
+    opt_state: Any = None,
+    epoch: int = 0,
+    loss: float = math.inf,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    blob = {
+        "model": serialization.to_bytes(params),
+        "config": config,  # embedded-config contract (SURVEY.md §5.4)
+        "epoch": epoch,
+        "loss": loss,
+    }
+    if ema_params is not None:
+        blob["ema_model"] = serialization.to_bytes(ema_params)
+    if opt_state is not None:
+        blob["opt_state"] = serialization.to_bytes(opt_state)
+    if extra:
+        blob.update(extra)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_params(template: Any, blob_bytes: bytes) -> Any:
+    return serialization.from_bytes(template, blob_bytes)
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+class Trainer:
+    def __init__(
+        self,
+        *,
+        config: XequiConfig,
+        apply_forward: Callable,
+        params: Any,
+        train_loader,
+        valid_loader,
+        steps_per_epoch: int,
+        logger=None,
+        device_put: Callable[[Dict[str, np.ndarray]], DataDict] = None,
+        reduce_metrics: Callable = None,
+    ) -> None:
+        tc = config.trainer
+        self.config = config
+        self.tc = tc
+        self.logger = logger
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.apply_forward = apply_forward
+        self.device_put = device_put or (
+            lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        self.reduce_metrics = reduce_metrics
+
+        targets = list(config.data.targets)
+        self.compute_forces = keys.FORCES in targets
+        self.compute_virial = keys.VIRIAL in targets or keys.STRESS in targets
+
+        self.lossfn = WeightedLoss(tc.lossfn, **self._loss_weights(targets))
+        metric_props = [
+            t if t != keys.FORCES else keys.FORCES for t in targets
+        ]
+        self.metric = ErrorMetric(*metric_props)
+
+        warmup_steps = tc.warmup_epochs * steps_per_epoch
+        max_steps = tc.max_epochs * steps_per_epoch
+        self.schedule = resolve_lr_schedule(
+            tc.lr_scheduler,
+            tc.max_lr,
+            max_steps,
+            warmup_scheduler=tc.warmup_scheduler,
+            warmup_steps=warmup_steps,
+            **(tc.lr_scheduler_kwargs or {}),
+        )
+        self.optimizer = resolve_optimizer(
+            tc.optimizer, self.schedule, **(tc.optimizer_kwargs or {})
+        )
+        if tc.finetune_modules:
+            self.optimizer = _freeze_except(self.optimizer, tc.finetune_modules, params)
+
+        self.plateau = (
+            PlateauScheduler(**(tc.lr_scheduler_kwargs or {}))
+            if tc.lr_scheduler.lower() == "plateau"
+            else None
+        )
+        self.stopper = MultiEarlyStopping(
+            tc.early_stoppings or {}, tc.early_stopping_mode
+        )
+
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        # distinct buffers: ema aliasing params breaks donation; None when off
+        self.ema_params = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if tc.ema_decay is not None
+            else None
+        )
+        self.epoch = 0
+        self.lr_scale = 1.0
+        # best-k max-heap of (-loss, file) (reference utils/trainer.py:27-35)
+        self.best_heap: List[Tuple[float, str]] = []
+
+        self.train_step = make_train_step(
+            apply_forward,
+            self.lossfn,
+            self.optimizer,
+            self.compute_forces,
+            self.compute_virial,
+            tc.grad_clip,
+            tc.ema_decay,
+            self.metric,
+        )
+        self.eval_step = make_eval_step(
+            apply_forward, self.compute_forces, self.compute_virial, self.metric
+        )
+
+        os.makedirs(tc.save_dir, exist_ok=True)
+        if tc.resume and tc.ckpt_file and os.path.exists(tc.ckpt_file):
+            self._resume(tc.ckpt_file)
+        elif tc.ckpt_file and os.path.exists(tc.ckpt_file):
+            blob = load_checkpoint(tc.ckpt_file)
+            self.params = restore_params(self.params, blob["model"])
+            if self.ema_params is not None:
+                self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+
+    # ------------------------------------------------------------------
+    def _loss_weights(self, targets: List[str]) -> Dict[str, float]:
+        weights = dict(self.tc.losses_weight or {})
+        if not weights:
+            weights = {t: 1.0 for t in targets}
+        return weights
+
+    def _log(self, msg: str) -> None:
+        if self.logger is not None:
+            self.logger.info(msg)
+
+    # ------------------------------------------------------------------
+    def train1epoch(self) -> float:
+        self.train_loader.set_epoch(self.epoch)
+        acc = MetricAccumulator()
+        state = (self.params, self.opt_state, self.ema_params)
+        last_loss = float("nan")
+        for step, raw in enumerate(self.train_loader):
+            batch = self.device_put(raw)
+            state, loss, metrics = self.train_step(
+                state, batch, jnp.asarray(self.lr_scale, dtype=jnp.float32)
+            )
+            if (step + 1) % self.tc.log_steps == 0:
+                acc.update(jax.device_get(metrics))
+                last_loss = float(jax.device_get(loss))
+                table = _fmt_metrics(acc.compute())
+                self._log(
+                    f"epoch {self.epoch} step {step + 1} "
+                    f"loss {last_loss:.6f}\n{table}"
+                )
+                acc.reset()
+        self.params, self.opt_state, self.ema_params = state
+        return last_loss
+
+    def validate(self) -> Dict[str, Dict[str, float]]:
+        acc = MetricAccumulator()
+        params = self.ema_params if self.tc.ema_decay is not None else self.params
+        for raw in self.valid_loader:
+            batch = self.device_put(raw)
+            metrics = self.eval_step(params, batch)
+            if self.reduce_metrics is not None:
+                metrics = self.reduce_metrics(metrics)
+            acc.update(jax.device_get(metrics))
+        return acc.compute()
+
+    def weighted_mae(self, results: Dict[str, Dict[str, float]]) -> float:
+        weights = self._loss_weights(list(self.config.data.targets))
+        total = 0.0
+        for prop, w in weights.items():
+            if prop in results:
+                total += w * results[prop]["mae"]
+        return total
+
+    # ------------------------------------------------------------------
+    def _ckpt_blob_extra(self) -> Dict[str, Any]:
+        return {
+            "epoch": self.epoch,
+            "loss2file": list(self.best_heap),
+            "plateau": self.plateau.state_dict() if self.plateau else None,
+            "stoppings": {
+                k: vars(v) for k, v in self.stopper.stoppings.items()
+            },
+        }
+
+    def save_best_k(self, val_mae: float) -> None:
+        tc = self.tc
+        fname = os.path.join(
+            tc.save_dir, f"{tc.run_name}_ep{self.epoch}_{val_mae:.6f}.ckpt"
+        )
+        entry = (-val_mae, fname)
+        if len(self.best_heap) < tc.best_k:
+            heapq.heappush(self.best_heap, entry)
+        elif entry > self.best_heap[0]:
+            _, old = heapq.heappushpop(self.best_heap, entry)
+            if os.path.exists(old):
+                os.remove(old)
+        else:
+            return
+        save_checkpoint(
+            fname,
+            self.params,
+            config_to_dict(self.config.model),
+            ema_params=self.ema_params,
+            epoch=self.epoch,
+            loss=val_mae,
+        )
+
+    def save_last(self, val_mae: float) -> None:
+        save_checkpoint(
+            os.path.join(self.tc.save_dir, f"{self.tc.run_name}_last.ckpt"),
+            self.params,
+            config_to_dict(self.config.model),
+            ema_params=self.ema_params,
+            opt_state=self.opt_state,
+            epoch=self.epoch,
+            loss=val_mae,
+            extra=self._ckpt_blob_extra(),
+        )
+
+    def _resume(self, path: str) -> None:
+        blob = load_checkpoint(path)
+        self.params = restore_params(self.params, blob["model"])
+        if "ema_model" in blob and self.ema_params is not None:
+            self.ema_params = restore_params(self.ema_params, blob["ema_model"])
+        elif self.ema_params is not None:
+            self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        if "opt_state" in blob:
+            self.opt_state = restore_params(self.opt_state, blob["opt_state"])
+        self.epoch = blob.get("epoch", 0) + 1
+        self.best_heap = [tuple(x) for x in blob.get("loss2file", [])]
+        if self.plateau and blob.get("plateau"):
+            self.plateau.load_state_dict(blob["plateau"])
+        self._log(f"resumed from {path} at epoch {self.epoch}")
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        tc = self.tc
+        for epoch in range(self.epoch, tc.max_epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            loss = self.train1epoch()
+            results = self.validate()
+            val_mae = self.weighted_mae(results)
+            if epoch % tc.log_epochs == 0:
+                self._log(
+                    f"== epoch {epoch} done in {time.time() - t0:.1f}s "
+                    f"train-loss {loss:.6f} valid weighted-MAE {val_mae:.6f}\n"
+                    + _fmt_metrics(results)
+                )
+            self.save_best_k(val_mae)
+            self.save_last(val_mae)
+            if self.plateau is not None:
+                self.lr_scale = self.plateau.step(val_mae)
+            flat = {p: r["mae"] for p, r in results.items()}
+            if self.stopper.step(flat):
+                self._log(f"early stopping at epoch {epoch}")
+                break
+
+
+def _fmt_metrics(results: Dict[str, Dict[str, float]]) -> str:
+    from tabulate import tabulate
+
+    rows = [
+        [prop, f"{r['mae']:.6f}", f"{r['rmse']:.6f}", r["count"]]
+        for prop, r in sorted(results.items())
+    ]
+    return tabulate(rows, headers=["property", "MAE", "RMSE", "count"], tablefmt="plain")
+
+
+def _freeze_except(
+    optimizer: optax.GradientTransformation, modules: List[str], params: Any
+) -> optax.GradientTransformation:
+    """Finetune-freeze: only params whose path contains one of the given
+    substrings are trained (reference run/train.py:196-208)."""
+
+    def trainable(path: Tuple, _) -> str:
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        return "train" if any(m in path_str for m in modules) else "freeze"
+
+    labels = jax.tree_util.tree_map_with_path(trainable, params)
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+    )
+
