@@ -187,3 +187,35 @@ def test_jit_and_grad_compose(model_and_params, rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
+
+
+def test_painn_model_runs_and_is_invariant(rng):
+    """PaiNN family: forward + forces, energy rotation invariance."""
+    module, extra, _ = resolve_model(
+        "painn",
+        node_dim=16,
+        embed_basis="one-hot",
+        num_basis=8,
+        action_blocks=2,
+        output_modes=["energy"],
+    )
+    dp = make_molecule(rng, n=7)
+    data = batch_of([dp])
+    from xequinet_tpu.models.model import init_params, make_apply_forward
+
+    params = init_params(module, collate([dp]))
+    fwd2 = make_apply_forward(module, extra)
+    out = fwd2(params, data, True, False)
+    assert np.isfinite(np.asarray(out[keys.FORCES])).all()
+
+    R = random_rotation(rng)
+    dp_rot = Datapoint(dp.atomic_numbers, dp.pos @ R.T, edge_index=dp.edge_index)
+    out_rot = fwd2(params, batch_of([dp_rot]), True, False)
+    np.testing.assert_allclose(
+        np.asarray(out_rot[keys.TOTAL_ENERGY])[0],
+        np.asarray(out[keys.TOTAL_ENERGY])[0],
+        rtol=1e-4, atol=1e-4,
+    )
+    f = np.asarray(out[keys.FORCES])[: dp.num_atoms]
+    f_rot = np.asarray(out_rot[keys.FORCES])[: dp.num_atoms]
+    np.testing.assert_allclose(f_rot, f @ R.T, rtol=1e-3, atol=2e-4)

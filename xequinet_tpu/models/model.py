@@ -110,8 +110,49 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
 
 
+def build_painn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
+    """PaiNN baseline (reference nn/model.py:261-307)."""
+    from .painn import PainnEmbedding, PainnMessage, PainnUpdate
+
+    node_dim: int = kwargs.get("node_dim", 128)
+    embed_basis: str = kwargs.get("embed_basis", "gfn2-xtb")
+    aux_basis: str = kwargs.get("aux_basis", "aux56")
+    num_basis: int = kwargs.get("num_basis", 20)
+    rbf_kernel: str = kwargs.get("rbf_kernel", "bessel")
+    cutoff: float = kwargs.get("cutoff", 5.0)
+    cutoff_fn: str = kwargs.get("cutoff_fn", "cosine")
+    action_blocks: int = kwargs.get("action_blocks", 3)
+    activation: str = kwargs.get("activation", "silu")
+    output_modes = _as_list(kwargs.get("output_modes", ["energy"]))
+
+    blocks: List[nn.Module] = [
+        PainnEmbedding(
+            node_dim=node_dim,
+            num_basis=num_basis,
+            embed_basis=embed_basis,
+            aux_basis=aux_basis,
+            rbf_kernel=rbf_kernel,
+            cutoff=cutoff,
+            cutoff_fn=cutoff_fn,
+        )
+    ]
+    for _ in range(action_blocks):
+        blocks.append(
+            PainnMessage(
+                node_dim=node_dim, num_basis=num_basis, activation=activation
+            )
+        )
+        blocks.append(PainnUpdate(node_dim=node_dim, activation=activation))
+    extra_properties: List[str] = []
+    for mode in output_modes:
+        blocks.append(resolve_output(mode, **kwargs))
+        extra_properties.extend(OUTPUT_EXTRA_PROPERTIES[mode])
+    return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
+
+
 MODEL_BUILDERS = {
     "xpainn": build_xpainn,
+    "painn": build_painn,
 }
 
 

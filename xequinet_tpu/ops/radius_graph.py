@@ -118,7 +118,7 @@ def radius_graph_pbc_np(
         if ci.size:
             edges_c.append(ci)
             edges_n.append(ni)
-            edges_o.append(np.broadcast_to(-off, (ci.size, 3)))
+            edges_o.append(np.broadcast_to(off, (ci.size, 3)))
     if not edges_c:
         return (
             np.zeros((2, 0), dtype=np.int64),
@@ -130,8 +130,8 @@ def radius_graph_pbc_np(
     # correct for the wrapping so offsets apply to original positions:
     # orig = wrapped + wrap_shift @ cell  =>
     # orig_c - orig_n - O'@cell = wrapped_c - wrapped_n - O@cell
-    # with O' = O - wrap_shift_c + wrap_shift_n
-    cell_offsets = cell_offsets - wrap_shifts[center] + wrap_shifts[neighbor]
+    # with O' = O + wrap_shift_c - wrap_shift_n
+    cell_offsets = cell_offsets + wrap_shifts[center] - wrap_shifts[neighbor]
     return np.stack([center, neighbor]), cell_offsets
 
 

@@ -1,0 +1,106 @@
+"""Data-parallel training over a device mesh.
+
+Replaces the reference's DistributedDataParallel + DistributedSampler
+pair (reference run/train.py:100-190, SURVEY.md §2.3): each device gets
+its own padded micro-batch (stacked on a leading device axis), the
+train step runs under ``shard_map``, and gradients / losses / metric
+sums are ``pmean``/``psum``-ed over the ICI mesh axis — the explicit,
+compiler-visible form of DDP's bucketed all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from .mesh import DP_AXIS
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+
+def stack_device_batches(batches: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack D per-device padded batches (identical shapes) on a leading
+    device axis — the host-side sharded input pipeline (the
+    DistributedSampler equivalent)."""
+    out = {}
+    for k in batches[0]:
+        out[k] = np.stack([b[k] for b in batches])
+    return out
+
+
+def make_dp_train_step(
+    step_core: Callable,
+    mesh: Mesh,
+    axis: str = DP_AXIS,
+):
+    """Wrap a per-replica train-step core into a shard_map over the mesh.
+
+    ``step_core(state, batch, lr_scale, grad_reduce, metric_reduce)`` must
+    call the provided reductions on grads/metrics (see
+    training.trainer.make_train_step's dp hooks).
+    """
+
+    def grad_reduce(tree):
+        return jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), tree)
+
+    def metric_reduce(tree):
+        return jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), tree)
+
+    replicated = P()
+    sharded = P(axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(replicated, sharded, replicated),
+        out_specs=(replicated, replicated, replicated),
+        check_vma=False,
+    )
+    def dp_step(state, batch, lr_scale):
+        # strip the per-device leading axis added by stack_device_batches
+        local = {k: v[0] for k, v in batch.items()}
+        return step_core(state, local, lr_scale, grad_reduce, metric_reduce)
+
+    return jax.jit(dp_step, donate_argnums=(0,))
+
+
+def make_dp_eval_step(eval_core: Callable, mesh: Mesh, axis: str = DP_AXIS):
+    def metric_reduce(tree):
+        return jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), tree)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def dp_eval(params, batch):
+        local = {k: v[0] for k, v in batch.items()}
+        return metric_reduce(eval_core(params, local))
+
+    return jax.jit(dp_eval)
+
+
+def device_put_sharded_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = DP_AXIS):
+    """Place a stacked batch so its leading axis is sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree across the mesh.  Copies first: device_put may
+    alias the source buffer as one shard, and the returned state is
+    typically donated into the train step — donating an aliased buffer
+    would silently delete the caller's original arrays."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.array(x), sharding), tree
+    )

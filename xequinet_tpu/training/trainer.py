@@ -93,7 +93,7 @@ class TrainState:
     step: int = 0
 
 
-def make_train_step(
+def make_step_core(
     apply_forward: Callable[[Any, DataDict, bool, bool], DataDict],
     lossfn: WeightedLoss,
     optimizer: optax.GradientTransformation,
@@ -103,10 +103,18 @@ def make_train_step(
     ema_decay: Optional[float],
     metric: ErrorMetric,
 ):
-    """Build the jitted train step (reference train1epoch body,
-    utils/trainer.py:287-351)."""
+    """Per-replica train-step body (reference train1epoch body,
+    utils/trainer.py:287-351).  ``grad_reduce``/``metric_reduce`` are the
+    data-parallel hooks: identity on one chip, pmean/psum over the mesh
+    axis under shard_map (the DDP all-reduce equivalent)."""
 
-    def step_fn(state: Tuple, batch: DataDict, lr_scale: Array):
+    def step_core(
+        state: Tuple,
+        batch: DataDict,
+        lr_scale: Array,
+        grad_reduce: Optional[Callable] = None,
+        metric_reduce: Optional[Callable] = None,
+    ):
         params, opt_state, ema_params = state
 
         def loss_of(p):
@@ -117,6 +125,9 @@ def make_train_step(
         (loss, (out, losses)), grads = jax.value_and_grad(loss_of, has_aux=True)(
             params
         )
+        if grad_reduce is not None:
+            grads = grad_reduce(grads)
+            loss = grad_reduce(loss)
         if grad_clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
@@ -134,9 +145,17 @@ def make_train_step(
                 params,
             )
         metrics = metric(out, batch)
+        if metric_reduce is not None:
+            metrics = metric_reduce(metrics)
         return (params, opt_state, ema_params), loss, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_core
+
+
+def make_train_step(*args, **kwargs):
+    """Single-device jitted train step."""
+    core = make_step_core(*args, **kwargs)
+    return jax.jit(core, donate_argnums=(0,))
 
 
 def make_eval_step(
