@@ -77,7 +77,13 @@ def collate(
     ptr = np.zeros(G + 1, dtype=np.int32)
 
     any_cell = any(d.has_cell for d in datapoints)
-    cell = np.zeros((G, 3, 3), dtype=dtype) if any_cell else None
+    # identity placeholder everywhere (incl. dummy slots): downstream code
+    # may invert the cell, and no offsets ever reference padding graphs
+    cell = (
+        np.broadcast_to(np.eye(3, dtype=dtype), (G, 3, 3)).copy()
+        if any_cell
+        else None
+    )
     pbc = np.zeros((G, 3), dtype=bool) if any_cell else None
 
     has = {

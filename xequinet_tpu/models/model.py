@@ -150,9 +150,128 @@ def build_painn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
 
 
+def build_xpainn_ewald(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
+    """XPaiNN + Ewald long-range blocks (reference nn/model.py:125-176)."""
+    from .ewald import EwaldBlock, EwaldInitialNonPBC, EwaldInitialPBC
+
+    stack, extra_properties, cutoff = build_xpainn(**kwargs)
+    blocks = list(stack.blocks)
+    # separate the short-range output heads: the reference appends ewald
+    # blocks AFTER the xpainn heads, accumulating atomic energies
+    node_dim: int = kwargs.get("node_dim", 128)
+    activation: str = kwargs.get("activation", "silu")
+    layer_norm: bool = kwargs.get("layer_norm", True)
+    use_pbc: bool = kwargs.get("use_pbc", True)
+    projection_dim: int = kwargs.get("projection_dim", 8)
+    ewald_blocks: int = kwargs.get("ewald_blocks", 1)
+    ewald_output_modes = _as_list(kwargs.get("ewald_output_mode", ["energy"]))
+
+    if use_pbc:
+        num_k_points = tuple(kwargs.get("num_k_points", [3, 3, 3]))
+        blocks.append(
+            EwaldInitialPBC(
+                num_k_points=num_k_points, projection_dim=projection_dim
+            )
+        )
+    else:
+        blocks.append(
+            EwaldInitialNonPBC(
+                k_cutoff=kwargs.get("k_cutoff", 0.4),
+                delta_k=kwargs.get("delta_k", 0.2),
+                num_k_basis=kwargs.get("num_k_basis", 20),
+                k_offset=kwargs.get("k_offset", None),
+                projection_dim=projection_dim,
+            )
+        )
+    for _ in range(ewald_blocks):
+        blocks.append(
+            EwaldBlock(
+                node_dim=node_dim,
+                projection_dim=projection_dim,
+                activation=activation,
+                layer_norm=layer_norm,
+            )
+        )
+    for mode in ewald_output_modes:
+        head_kwargs = dict(kwargs)
+        head_kwargs.setdefault("node_irreps", kwargs.get("node_irreps", "128x0e + 64x1o + 32x2e"))
+        blocks.append(resolve_output(mode, **head_kwargs))
+        extra_properties.extend(OUTPUT_EXTRA_PROPERTIES[mode])
+    return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
+
+
+def build_so3krates(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
+    """SO3krates (reference nn/model.py:179-258; registered here unlike the
+    reference factory)."""
+    from .so3krates import EuclideanAttention, InteractionBlock
+
+    node_dim: int = kwargs.get("node_dim", 120)
+    node_channel: int = kwargs.get("node_channel", 32)
+    l_max: int = kwargs.get("max_l", 3)
+    node_irreps = Irreps([(node_channel, (l, (-1) ** l)) for l in range(l_max + 1)])
+    num_heads: int = kwargs.get("num_heads", 4)
+    embed_basis: str = kwargs.get("embed_basis", "gfn2-xtb")
+    aux_basis: str = kwargs.get("aux_basis", "aux56")
+    num_basis: int = kwargs.get("num_basis", 20)
+    rbf_kernel: str = kwargs.get("rbf_kernel", "bessel")
+    cutoff: float = kwargs.get("cutoff", 5.0)
+    cutoff_fn: str = kwargs.get("cutoff_fn", "cosine")
+    action_blocks: int = kwargs.get("action_blocks", 3)
+    activation: str = kwargs.get("activation", "silu")
+    layer_norm: bool = kwargs.get("layer_norm", False)
+    charge_embed: bool = kwargs.get("charge_embed", False)
+    spin_embed: bool = kwargs.get("spin_embed", False)
+    output_modes = _as_list(kwargs.get("output_modes", ["energy"]))
+
+    blocks: List[nn.Module] = [
+        XEmbedding(
+            node_dim=node_dim,
+            node_irreps=node_irreps,
+            embed_basis=embed_basis,
+            aux_basis=aux_basis,
+            num_basis=num_basis,
+            rbf_kernel=rbf_kernel,
+            cutoff=cutoff,
+            cutoff_fn=cutoff_fn,
+        )
+    ]
+    if charge_embed:
+        blocks.append(ChargeEmbedding(node_dim=node_dim, activation=activation))
+    if spin_embed:
+        blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
+    for _ in range(action_blocks):
+        blocks.append(
+            EuclideanAttention(
+                node_irreps=node_irreps,
+                node_dim=node_dim,
+                num_heads=num_heads,
+                num_basis=num_basis,
+                activation=activation,
+                layer_norm=layer_norm,
+            )
+        )
+        blocks.append(
+            InteractionBlock(
+                node_irreps=node_irreps,
+                node_dim=node_dim,
+                activation=activation,
+                layer_norm=layer_norm,
+            )
+        )
+    extra_properties: List[str] = []
+    for mode in output_modes:
+        head_kwargs = dict(kwargs)
+        head_kwargs["node_irreps"] = node_irreps
+        blocks.append(resolve_output(mode, **head_kwargs))
+        extra_properties.extend(OUTPUT_EXTRA_PROPERTIES[mode])
+    return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
+
+
 MODEL_BUILDERS = {
     "xpainn": build_xpainn,
+    "xpainn-ewald": build_xpainn_ewald,
     "painn": build_painn,
+    "so3krates": build_so3krates,
 }
 
 

@@ -1,0 +1,230 @@
+"""`xeq md`: molecular dynamics driver.
+
+TPU-native counterpart of /root/reference/xequinet/run/dynamics.py.  The
+reference drives ASE integrators; here the primary path is a built-in
+set of integrators (Velocity-Verlet NVE, Langevin and Berendsen NVT)
+driven by the jitted Calculator — no ASE required on a TPU pod — with an
+ASE adapter available when ase is installed.  Multi-stage ensemble
+chains, Maxwell-Boltzmann init, zero-momentum projection and extxyz
+trajectory output mirror the reference behavior (dynamics.py:22-175).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import keys
+from ..data.datapoint import Datapoint
+from ..data.fmt_conversion import read_xyz, write_xyz
+from ..interface.calculator import Calculator
+from ..utils.config import MDConfig, load_md_config
+from ..utils.logger import ZeroLogger
+from ..utils.qc import ATOM_MASS, unit_conversion
+
+KB_EV = 8.617333262e-5  # eV / K
+# internal units: eV, Angstrom, amu  ->  time unit = A sqrt(amu/eV)
+FS_PER_TIME_UNIT = 10.180505710774743
+
+
+@dataclass
+class MDState:
+    pos: np.ndarray  # [N, 3] Angstrom
+    vel: np.ndarray  # [N, 3] A / internal-time
+    masses: np.ndarray  # [N] amu
+    step: int = 0
+
+    def kinetic_energy(self) -> float:
+        return float(0.5 * np.sum(self.masses[:, None] * self.vel**2))
+
+    def temperature(self) -> float:
+        dof = 3 * len(self.masses) - 3
+        return 2.0 * self.kinetic_energy() / (max(dof, 1) * KB_EV)
+
+
+def maxwell_boltzmann(
+    masses: np.ndarray, temperature: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Initial velocities at T, zero total momentum
+    (reference dynamics.py:143-145)."""
+    sigma = np.sqrt(KB_EV * temperature / masses)[:, None]
+    vel = rng.normal(size=(len(masses), 3)) * sigma
+    # remove center-of-mass momentum (Stationary)
+    p = (masses[:, None] * vel).sum(0)
+    vel -= p / masses.sum()
+    return vel
+
+
+class ForceField:
+    """Energy/forces in (eV, Angstrom) from a Calculator, converting from
+    model units once."""
+
+    def __init__(self, calc: Calculator, atomic_numbers, cell=None, pbc=None,
+                 charge=None, spin=None) -> None:
+        self.calc = calc
+        self.z = np.asarray(atomic_numbers)
+        self.cell = cell
+        self.pbc = pbc
+        self.charge = charge
+        self.spin = spin
+        u = calc.units
+        self.e_conv = unit_conversion(u.get(keys.TOTAL_ENERGY, "eV"), "eV")
+        self.l_conv = unit_conversion(u.get(keys.POSITIONS, "Angstrom"), "Angstrom")
+        self.extra_calcs: List = []  # e.g. xTB delta baseline
+
+    def __call__(self, pos_ang: np.ndarray):
+        res = self.calc.calculate(
+            self.z, pos_ang / self.l_conv, cell=self.cell, pbc=self.pbc,
+            charge=self.charge, spin=self.spin,
+        )
+        e = res[keys.TOTAL_ENERGY] * self.e_conv
+        f = res[keys.FORCES] * self.e_conv / self.l_conv
+        for extra in self.extra_calcs:
+            ee, ff = extra(pos_ang)
+            e = e + ee
+            f = f + ff
+        return e, f
+
+
+# ---------------------------------------------------------------------------
+# Integrators (host loop; each force call is one jitted TPU program)
+# ---------------------------------------------------------------------------
+class VelocityVerlet:
+    def __init__(self, ff: ForceField, timestep_fs: float) -> None:
+        self.ff = ff
+        self.dt = timestep_fs / FS_PER_TIME_UNIT
+        self._forces: Optional[np.ndarray] = None
+
+    def step(self, s: MDState, rng) -> MDState:
+        if self._forces is None:
+            _, self._forces = self.ff(s.pos)
+        m = s.masses[:, None]
+        vel_half = s.vel + 0.5 * self.dt * self._forces / m
+        pos = s.pos + self.dt * vel_half
+        _, forces = self.ff(pos)
+        vel = vel_half + 0.5 * self.dt * forces / m
+        self._forces = forces
+        return MDState(pos, vel, s.masses, s.step + 1)
+
+
+class Langevin(VelocityVerlet):
+    """BAOAB Langevin thermostat."""
+
+    def __init__(self, ff, timestep_fs: float, temperature: float,
+                 friction_fs: float = 0.01) -> None:
+        super().__init__(ff, timestep_fs)
+        self.temperature = temperature
+        self.gamma = friction_fs * FS_PER_TIME_UNIT  # per internal time
+
+    def step(self, s: MDState, rng) -> MDState:
+        if self._forces is None:
+            _, self._forces = self.ff(s.pos)
+        m = s.masses[:, None]
+        dt = self.dt
+        c1 = math.exp(-self.gamma * dt)
+        vel = s.vel + 0.5 * dt * self._forces / m
+        pos = s.pos + 0.5 * dt * vel
+        sigma = np.sqrt(KB_EV * self.temperature / s.masses)[:, None]
+        vel = c1 * vel + math.sqrt(max(1 - c1 * c1, 0.0)) * sigma * rng.normal(
+            size=vel.shape
+        )
+        pos = pos + 0.5 * dt * vel
+        _, forces = self.ff(pos)
+        vel = vel + 0.5 * dt * forces / m
+        self._forces = forces
+        return MDState(pos, vel, s.masses, s.step + 1)
+
+
+class BerendsenNVT(VelocityVerlet):
+    def __init__(self, ff, timestep_fs: float, temperature: float,
+                 taut_fs: float = 100.0) -> None:
+        super().__init__(ff, timestep_fs)
+        self.temperature = temperature
+        self.taut = taut_fs / FS_PER_TIME_UNIT
+
+    def step(self, s: MDState, rng) -> MDState:
+        s2 = super().step(s, rng)
+        t_cur = max(s2.temperature(), 1e-9)
+        lam = math.sqrt(
+            1.0 + (self.dt / self.taut) * (self.temperature / t_cur - 1.0)
+        )
+        return MDState(s2.pos, s2.vel * lam, s2.masses, s2.step)
+
+
+ENSEMBLE_FACTORY = {
+    "velocityverlet": VelocityVerlet,
+    "nve": VelocityVerlet,
+    "langevin": Langevin,
+    "nvtberendsen": BerendsenNVT,
+    "berendsen": BerendsenNVT,
+}
+
+
+def run_md(config: MDConfig, logger=None) -> MDState:
+    logger = logger or ZeroLogger(config.logfile)
+    rng = np.random.default_rng(config.seed or 0)
+    frames = read_xyz(config.input_file)
+    dp = frames[0]
+    masses = ATOM_MASS[dp.atomic_numbers]
+
+    calc = Calculator(config.model_file)
+    ff = ForceField(
+        calc, dp.atomic_numbers,
+        cell=dp.cell if dp.has_cell else None,
+        pbc=dp.pbc if dp.has_cell else None,
+        charge=dp.charge, spin=dp.spin,
+    )
+    if config.delta_method:
+        from ..data.fmt_conversion import datapoint_to_xtb
+
+        def xtb_extra(pos_ang):
+            d = Datapoint(dp.atomic_numbers, pos_ang, charge=dp.charge, spin=dp.spin)
+            res = datapoint_to_xtb(d, method=config.delta_method).singlepoint()
+            h2ev = unit_conversion("Hartree", "eV")
+            b2a = unit_conversion("Bohr", "Angstrom")
+            return res.get("energy") * h2ev, -res.get("gradient") * h2ev / b2a
+
+        ff.extra_calcs.append(xtb_extra)
+
+    vel = maxwell_boltzmann(masses, config.init_temperature, rng)
+    state = MDState(dp.pos.copy(), vel, masses)
+
+    for stage in config.ensembles or [{"name": "nve", "timestep": 0.5, "steps": 100}]:
+        stage = dict(stage)
+        name = stage.pop("name", "nve").lower()
+        steps = int(stage.pop("steps", 100))
+        timestep = float(stage.pop("timestep", 0.5))
+        log_interval = int(stage.pop("log_interval", 10))
+        stage.pop("device", None)
+        integ_cls = ENSEMBLE_FACTORY[name]
+        integ = integ_cls(ff, timestep, **stage)
+        logger.info(f"MD stage {name}: {steps} steps x {timestep} fs")
+        for i in range(steps):
+            state = integ.step(state, rng)
+            if (i + 1) % log_interval == 0 or i == steps - 1:
+                e_pot, _ = ff(state.pos)
+                msg = (
+                    f"step {state.step} t={state.step * timestep:.1f}fs "
+                    f"Epot={e_pot:.6f}eV Ekin={state.kinetic_energy():.6f}eV "
+                    f"T={state.temperature():.1f}K"
+                )
+                logger.info(msg)
+                if config.xyz_traj:
+                    snap = Datapoint(
+                        dp.atomic_numbers, state.pos,
+                        cell=dp.cell if dp.has_cell else None,
+                        pbc=dp.pbc if dp.has_cell else None,
+                    )
+                    write_xyz(
+                        config.xyz_traj, [snap], energies=[e_pot],
+                        append=(state.step > log_interval),
+                    )
+    return state
+
+
+def run_md_from_args(args) -> None:
+    config = load_md_config(args.config)
+    run_md(config)

