@@ -69,7 +69,10 @@ def collate(
     pos = np.zeros((n_nodes, 3), dtype=dtype)
     batch = np.full(n_nodes, dummy_graph, dtype=np.int32)
     node_mask = np.zeros(n_nodes, dtype=bool)
-    edge_index = np.zeros((2, n_edges), dtype=np.int32)
+    # padding edges point at the last node slot so edge center indices stay
+    # sorted (real edges are emitted center-major by the graph builders),
+    # letting segment reductions use indices_are_sorted on TPU
+    edge_index = np.full((2, n_edges), n_nodes - 1, dtype=np.int32)
     cell_offsets = np.zeros((n_edges, 3), dtype=dtype)
     edge_mask = np.zeros(n_edges, dtype=bool)
     graph_mask = np.zeros(G, dtype=bool)
@@ -116,9 +119,11 @@ def collate(
         node_mask[sl] = True
         if e:
             esl = slice(edge_off, edge_off + e)
-            edge_index[:, esl] = d.edge_index + node_off
+            ei = d.edge_index
+            order = np.argsort(ei[0], kind="stable")
+            edge_index[:, esl] = ei[:, order] + node_off
             if d.cell_offsets is not None:
-                cell_offsets[esl] = d.cell_offsets
+                cell_offsets[esl] = d.cell_offsets[order]
             edge_mask[esl] = True
         graph_mask[g] = True
         num_atoms[g] = n

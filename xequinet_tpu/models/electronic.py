@@ -53,7 +53,7 @@ class ChargeEmbedding(nn.Module):
         attn = jnp.where(node_mask[:, None], attn, 0.0)
         n_graphs = data[keys.GRAPH_MASK].shape[0]
         attn_sum = jnp.take(
-            segment_sum(attn, batch, n_graphs), batch, axis=0
+            segment_sum(attn, batch, n_graphs, indices_are_sorted=True), batch, axis=0
         )
         embed = ResidualLayer(
             node_dim=self.node_dim, n_layers=2, activation=self.activation
@@ -87,7 +87,7 @@ class SpinEmbedding(nn.Module):
         attn = nn.softplus(dot / math.sqrt(self.node_dim))
         attn = jnp.where(node_mask[:, None], attn, 0.0)
         n_graphs = data[keys.GRAPH_MASK].shape[0]
-        attn_sum = jnp.take(segment_sum(attn, batch, n_graphs), batch, axis=0)
+        attn_sum = jnp.take(segment_sum(attn, batch, n_graphs, indices_are_sorted=True), batch, axis=0)
         embed = ResidualLayer(
             node_dim=self.node_dim, n_layers=2, activation=self.activation
         )((attn * value) / jnp.maximum(attn_sum, 1e-9))

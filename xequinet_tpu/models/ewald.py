@@ -165,12 +165,10 @@ class EwaldBlock(nn.Module):
 
         real = (jnp.cos(k_dot_r) * sinc)[..., None]  # [N, K, 1]
         imag = (jnp.sin(k_dot_r) * sinc)[..., None]
-        sf_real = segment_sum(
-            real * node_res[:, None, :], batch, n_graphs, node_mask
-        )  # [G, K, D]
-        sf_imag = segment_sum(
-            imag * node_res[:, None, :], batch, n_graphs, node_mask
-        )
+        sf_real = segment_sum(real * node_res[:, None, :], batch, n_graphs, node_mask
+        , indices_are_sorted=True)  # [G, K, D]
+        sf_imag = segment_sum(imag * node_res[:, None, :], batch, n_graphs, node_mask
+        , indices_are_sorted=True)
 
         up = nn.Dense(
             self.node_dim,

@@ -63,9 +63,9 @@ class ScalarOut(nn.Module):
             n_graphs = _graph_count(data)
             mask = data[keys.NODE_MASK]
             if self.reduce_op == "sum":
-                res = segment_sum(res, batch, n_graphs, mask)
+                res = segment_sum(res, batch, n_graphs, mask, indices_are_sorted=True)
             elif self.reduce_op == "mean":
-                total = segment_sum(res, batch, n_graphs, mask)
+                total = segment_sum(res, batch, n_graphs, mask, indices_are_sorted=True)
                 cnt = segment_sum(jnp.ones_like(res), batch, n_graphs, mask)
                 res = total / jnp.maximum(cnt, 1.0)
             else:
@@ -124,7 +124,7 @@ class AtomicChargesOut(nn.Module):
         q = jnp.where(node_mask, q, 0.0)
         if self.conservation:
             n_graphs = _graph_count(data)
-            raw_total = segment_sum(q, batch, n_graphs)
+            raw_total = segment_sum(q, batch, n_graphs, indices_are_sorted=True)
             num_atoms = segment_sum(
                 jnp.ones_like(q), batch, n_graphs, node_mask
             )
@@ -270,8 +270,8 @@ class SpatialOut(nn.Module):
         masses = jnp.take(
             jnp.asarray(ATOM_MASS, dtype=pos.dtype), data[keys.ATOMIC_NUMBERS]
         )[:, None]
-        m_pos = segment_sum(masses * pos, batch, n_graphs, node_mask)
-        m_tot = segment_sum(masses, batch, n_graphs, node_mask)
+        m_pos = segment_sum(masses * pos, batch, n_graphs, node_mask, indices_are_sorted=True)
+        m_tot = segment_sum(masses, batch, n_graphs, node_mask, indices_are_sorted=True)
         centroids = m_pos / jnp.maximum(m_tot, 1e-9)
         rel = pos - jnp.take(centroids, batch, axis=0)
 
@@ -279,9 +279,8 @@ class SpatialOut(nn.Module):
             hidden_dim=self.hidden_dim, out_dim=1, activation=self.activation
         )(data[keys.NODE_INVARIANT])
         spatial = jnp.sum(rel * rel, axis=-1, keepdims=True)
-        data[keys.SPATIAL_EXTENT] = segment_sum(
-            scalar_out * spatial, batch, n_graphs, node_mask
-        )
+        data[keys.SPATIAL_EXTENT] = segment_sum(scalar_out * spatial, batch, n_graphs, node_mask
+        , indices_are_sorted=True)
         return data
 
 

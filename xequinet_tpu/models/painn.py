@@ -102,10 +102,12 @@ class PainnMessage(nn.Module):
         ] + gate_edge_vector[:, None, :] * uvec[:, :, None]
 
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + segment_sum(
-            message_scalar, center_idx, n_nodes, edge_mask
+            message_scalar, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + segment_sum(
-            message_vector, center_idx, n_nodes, edge_mask
+            message_vector, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         return data
 

@@ -140,10 +140,12 @@ class EuclideanAttention(nn.Module):
         msg_equi = scalar_gate(rsh, attn_gate, irreps) * fcut[..., :1]
 
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + segment_sum(
-            msg_scalar, center_idx, n_nodes, edge_mask
+            msg_scalar, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + segment_sum(
-            msg_equi, center_idx, n_nodes, edge_mask
+            msg_equi, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         return data
 

@@ -139,9 +139,9 @@ class CartTensorOut(nn.Module):
         if self.reduce_op is not None:
             flat = out_cart.reshape(out_cart.shape[0], -1)
             if self.reduce_op == "sum":
-                red = segment_sum(flat, batch, n_graphs, node_mask)
+                red = segment_sum(flat, batch, n_graphs, node_mask, indices_are_sorted=True)
             elif self.reduce_op == "mean":
-                tot = segment_sum(flat, batch, n_graphs, node_mask)
+                tot = segment_sum(flat, batch, n_graphs, node_mask, indices_are_sorted=True)
                 cnt = segment_sum(
                     jnp.ones(flat.shape[:1], flat.dtype), batch, n_graphs, node_mask
                 )

@@ -123,10 +123,12 @@ class XPainnMessage(nn.Module):
         ) + scalar_gate(rsh, gate_edge_equi, irreps)
 
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + segment_sum(
-            message_scalar, center_idx, n_nodes, edge_mask
+            message_scalar, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + segment_sum(
-            message_equi, center_idx, n_nodes, edge_mask
+            message_equi, center_idx, n_nodes, edge_mask,
+            indices_are_sorted=True, scope="edges",
         )
         return data
 

@@ -31,13 +31,21 @@ import numpy as np
 
 
 def radius_graph_np(
-    pos: np.ndarray, cutoff: float
+    pos: np.ndarray, cutoff: float, use_native: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """O(N^2) non-PBC neighbor search on host.
+    """Non-PBC neighbor search on host: O(N) C++ cell lists when the
+    native library builds (ops/native.py), O(N^2) numpy otherwise.
 
-    Returns (edge_index [2, E], cell_offsets [E, 3] zeros).
+    Returns (edge_index [2, E], cell_offsets [E, 3] zeros), edges sorted
+    center-major.
     """
     pos = np.asarray(pos, dtype=np.float64)
+    if use_native:
+        from .native import radius_graph_native
+
+        res = radius_graph_native(pos, cutoff)
+        if res is not None:
+            return res
     diff = pos[:, None, :] - pos[None, :, :]
     dist2 = np.einsum("ijk,ijk->ij", diff, diff)
     n = pos.shape[0]
@@ -98,6 +106,20 @@ def radius_graph_pbc_np(
 
     wrapped, wrap_shifts = wrap_positions(pos, cell, pbc)
     reps = _num_repeats(cell, pbc, cutoff)
+
+    from .native import radius_graph_pbc_native
+
+    res = radius_graph_pbc_native(wrapped, cell, reps, cutoff)
+    if res is not None:
+        ei, cell_offsets = res
+        center, neighbor = ei[0], ei[1]
+        cell_offsets = cell_offsets + wrap_shifts[center] - wrap_shifts[neighbor]
+        order = np.argsort(center, kind="stable")
+        return (
+            np.stack([center[order], neighbor[order]]),
+            cell_offsets[order],
+        )
+
     ranges = [np.arange(-r, r + 1) for r in reps]
     offsets = np.stack(
         np.meshgrid(*ranges, indexing="ij"), axis=-1
@@ -166,7 +188,9 @@ def radius_graph_fixed(
     center = order // n
     neighbor = order % n
     edge_mask = jnp.take(flat, order)
-    # padding edges point at node 0; they are masked out downstream
-    center = jnp.where(edge_mask, center, 0)
-    neighbor = jnp.where(edge_mask, neighbor, 0)
+    # padding edges point at the LAST node slot: real edges are emitted in
+    # flat (center-major) order, so center indices stay sorted — required
+    # by the indices_are_sorted fast path in the scatter ops
+    center = jnp.where(edge_mask, center, n - 1)
+    neighbor = jnp.where(edge_mask, neighbor, n - 1)
     return jnp.stack([center, neighbor]).astype(jnp.int32), edge_mask, n_found

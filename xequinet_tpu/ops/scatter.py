@@ -9,10 +9,30 @@ they contribute nothing regardless of their (dummy) segment index.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# When set, edge->node aggregations (scope="edges") are partial sums over a
+# sharded edge set and get psum'd over this mesh axis — the core of the
+# edge-parallel large-graph path (parallel/edge_partition.py, SURVEY.md §5.7).
+_EDGE_PSUM_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "edge_psum_axis", default=None
+)
+
+
+@contextlib.contextmanager
+def edge_parallel(axis_name: str):
+    """Trace-time context: segment sums tagged scope="edges" become
+    psum-reduced partial aggregations over the given mesh axis."""
+    token = _EDGE_PSUM_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _EDGE_PSUM_AXIS.reset(token)
 
 
 def segment_sum(
@@ -20,14 +40,26 @@ def segment_sum(
     index: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+    scope: str = "nodes",
 ) -> jnp.ndarray:
     """Sum of ``src`` rows into ``num_segments`` buckets.
 
     src: [M, ...], index: [M] int, mask: [M] bool or None.
+    ``indices_are_sorted=True`` is valid for batches from data.batching
+    (edges sorted by center; nodes sorted by graph; padding at the top
+    index) and unlocks the fast TPU scatter path.
     """
     if mask is not None:
         src = jnp.where(_expand(mask, src.ndim), src, 0)
-    return jax.ops.segment_sum(src, index, num_segments=num_segments)
+    out = jax.ops.segment_sum(
+        src, index, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    axis = _EDGE_PSUM_AXIS.get()
+    if scope == "edges" and axis is not None:
+        out = jax.lax.psum(out, axis)
+    return out
 
 
 def segment_mean(

@@ -1,0 +1,117 @@
+"""Edge-partitioned message passing for large graphs over a device mesh.
+
+The graph analogue of sequence parallelism (SURVEY.md §5.7) — a capability
+the reference does NOT have (its largest-system path is single-device with
+a blockwise neighbor search, reference data/radius_graph.py:128-155).
+
+Design (round 1): **sharded edges, replicated nodes, GSPMD-partitioned.**
+The ordinary single-device forward (including force/virial autodiff) is
+jitted with edge-axis arrays placed on a ``NamedSharding(mesh, P('gp'))``
+and node/graph arrays replicated; XLA's SPMD partitioner splits the edge
+work — gathers, radial/spherical bases, gated messages, the dominant cost
+at high neighbor counts — across the mesh and inserts the all-reduces for
+the edge->node segment sums and their transposes over ICI.  This is the
+scaling-book recipe: annotate shardings, let XLA insert collectives.
+
+The halo-exchange domain decomposition (sharded nodes + ppermute boundary
+exchange overlapped with local aggregation) is the planned upgrade for
+node-memory-bound systems; the explicit-collective hook for it already
+exists (ops/scatter.py ``edge_parallel`` / ``scope="edges"``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from .. import keys
+from ..models.properties import make_forward
+from .mesh import GP_AXIS
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+EDGE_KEYS = {keys.EDGE_INDEX, keys.EDGE_MASK, keys.CELL_OFFSETS}
+
+
+def pad_edges_for_shards(
+    batch: Dict[str, np.ndarray], n_shards: int
+) -> Dict[str, np.ndarray]:
+    """Pad the edge axis to a multiple of n_shards (contiguous split keeps
+    the per-shard sorted-center invariant)."""
+    e = batch[keys.EDGE_MASK].shape[0]
+    target = ((e + n_shards - 1) // n_shards) * n_shards
+    if target == e:
+        return batch
+    out = dict(batch)
+    n_nodes = batch[keys.POSITIONS].shape[0]
+    ei = np.full((2, target), n_nodes - 1, dtype=batch[keys.EDGE_INDEX].dtype)
+    ei[:, :e] = batch[keys.EDGE_INDEX]
+    out[keys.EDGE_INDEX] = ei
+    em = np.zeros(target, dtype=bool)
+    em[:e] = batch[keys.EDGE_MASK]
+    out[keys.EDGE_MASK] = em
+    if keys.CELL_OFFSETS in batch:
+        co = np.zeros((target, 3), dtype=batch[keys.CELL_OFFSETS].dtype)
+        co[:e] = batch[keys.CELL_OFFSETS]
+        out[keys.CELL_OFFSETS] = co
+    return out
+
+
+def edge_shardings(
+    batch: DataDict, mesh: Mesh, axis: str = GP_AXIS
+) -> Dict[str, NamedSharding]:
+    """NamedShardings: edge arrays split over the mesh axis, everything
+    else replicated."""
+    out = {}
+    for k in batch:
+        if k == keys.EDGE_INDEX:
+            out[k] = NamedSharding(mesh, P(None, axis))
+        elif k in (keys.EDGE_MASK, keys.CELL_OFFSETS):
+            out[k] = NamedSharding(mesh, P(axis))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = GP_AXIS) -> DataDict:
+    """Pad + place a host batch with the edge axis sharded over the mesh."""
+    batch = pad_edges_for_shards(batch, int(np.prod(mesh.devices.shape)))
+    shardings = edge_shardings(batch, mesh, axis)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def make_edge_parallel_forward(
+    apply_fn: Callable[[DataDict], DataDict],
+    mesh: Mesh,
+    axis: str = GP_AXIS,
+    extra_properties: Optional[List[str]] = None,
+):
+    """Build ``forward(data, compute_forces, compute_virial)`` where the
+    edge work is GSPMD-partitioned over the mesh.
+
+    ``apply_fn(data) -> data`` is the bound model (params closed over).
+    Pass batches through :func:`shard_batch` (or any placement with the
+    edge axis sharded) — jit then compiles one SPMD program over the mesh.
+    """
+
+    base_forward = make_forward(apply_fn, extra_properties)
+    jitted: Dict = {}
+
+    def forward(
+        data: DataDict, compute_forces: bool = True, compute_virial: bool = False
+    ) -> DataDict:
+        key = (compute_forces, compute_virial)
+        if key not in jitted:
+            jitted[key] = jax.jit(
+                lambda d: base_forward(d, compute_forces, compute_virial),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        return jitted[key](data)
+
+    return forward
