@@ -19,7 +19,7 @@ import numpy as np
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.json")
 
 
-def build_batch(rng, n_mols=256, atoms_lo=12, atoms_hi=28, cutoff=5.0):
+def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
     from xequinet_tpu.data.batching import collate
     from xequinet_tpu.data.datapoint import Datapoint
     from xequinet_tpu.ops.radius_graph import radius_graph_np
@@ -66,6 +66,7 @@ def main() -> None:
         num_basis=20,
         action_blocks=3,
         output_modes=["energy"],
+        remat=True,  # rematerialized backward: larger batches fit in HBM
     )
     params = init_params(module, batch_np)
     apply_forward = make_apply_forward(module, extra)

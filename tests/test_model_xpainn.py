@@ -219,3 +219,27 @@ def test_painn_model_runs_and_is_invariant(rng):
     f = np.asarray(out[keys.FORCES])[: dp.num_atoms]
     f_rot = np.asarray(out_rot[keys.FORCES])[: dp.num_atoms]
     np.testing.assert_allclose(f_rot, f @ R.T, rtol=1e-3, atol=2e-4)
+
+
+def test_remat_matches_no_remat(rng):
+    """Rematerialized blocks must be numerically identical."""
+    from xequinet_tpu.models.model import init_params, make_apply_forward
+
+    kw = dict(KW)
+    dp = make_molecule(rng, n=6)
+    data = batch_of([dp])
+    m1, e1, _ = resolve_model("xpainn", **kw)
+    params = init_params(m1, collate([dp]))
+    m2, e2, _ = resolve_model("xpainn", **kw, remat=True)
+    f1 = make_apply_forward(m1, e1)
+    f2 = make_apply_forward(m2, e2)
+    out1 = f1(params, data, True, False)
+    out2 = f2(params, data, True, False)
+    np.testing.assert_allclose(
+        np.asarray(out1[keys.TOTAL_ENERGY]), np.asarray(out2[keys.TOTAL_ENERGY]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1[keys.FORCES]), np.asarray(out2[keys.FORCES]),
+        rtol=1e-5, atol=1e-6,
+    )

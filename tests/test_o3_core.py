@@ -300,3 +300,20 @@ def test_get_feasible_tp_structure():
     # sorted output irreps
     ls = [mi.ir.l for mi in irreps_out]
     assert ls == sorted(ls)
+
+
+def test_parity_inversion(rng):
+    """Under inversion, SH flip by (-1)^l and odd node irreps negate;
+    gated products preserve this."""
+    v = rng.normal(size=(6, 3))
+    for l in (1, 2, 3):
+        ir = f"1x{l}{'o' if l % 2 else 'e'}"
+        y = np.asarray(spherical_harmonics(ir, jnp.asarray(v)))
+        y_inv = np.asarray(spherical_harmonics(ir, jnp.asarray(-v)))
+        np.testing.assert_allclose(y_inv, (-1) ** l * y, atol=1e-6)
+    # invariant() is parity-invariant
+    x = rng.normal(size=(4, IRR.dim))
+    D_inv = irreps_D(IRR, np.eye(3), parity=True)  # pure inversion
+    a = np.asarray(invariant(jnp.asarray(x), IRR))
+    b = np.asarray(invariant(jnp.asarray(x @ D_inv.T), IRR))
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -65,6 +65,12 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     charge_embed: bool = kwargs.get("charge_embed", False)
     spin_embed: bool = kwargs.get("spin_embed", False)
     output_modes = _as_list(kwargs.get("output_modes", ["energy"]))
+    # rematerialization: recompute block activations in the backward pass
+    # instead of storing them — jax.checkpoint per action block, trading
+    # FLOPs for HBM (enables much larger batches / supercells)
+    remat: bool = kwargs.get("remat", False)
+    MessageCls = nn.remat(XPainnMessage) if remat else XPainnMessage
+    UpdateCls = nn.remat(XPainnUpdate) if remat else XPainnUpdate
 
     blocks: List[nn.Module] = [
         XEmbedding(
@@ -84,7 +90,7 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
         blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
     for _ in range(action_blocks):
         blocks.append(
-            XPainnMessage(
+            MessageCls(
                 node_dim=node_dim,
                 node_irreps=node_irreps,
                 num_basis=num_basis,
@@ -93,7 +99,7 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
             )
         )
         blocks.append(
-            XPainnUpdate(
+            UpdateCls(
                 node_dim=node_dim,
                 node_irreps=node_irreps,
                 activation=activation,

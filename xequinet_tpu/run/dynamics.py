@@ -154,12 +154,74 @@ class BerendsenNVT(VelocityVerlet):
         return MDState(s2.pos, s2.vel * lam, s2.masses, s2.step)
 
 
+class Andersen(VelocityVerlet):
+    """Andersen thermostat: random velocity re-draws at collision rate."""
+
+    def __init__(self, ff, timestep_fs: float, temperature: float,
+                 andersen_prob: float = 0.01) -> None:
+        super().__init__(ff, timestep_fs)
+        self.temperature = temperature
+        self.prob = andersen_prob
+
+    def step(self, s: MDState, rng) -> MDState:
+        s2 = super().step(s, rng)
+        hit = rng.random(len(s2.masses)) < self.prob
+        if hit.any():
+            sigma = np.sqrt(KB_EV * self.temperature / s2.masses)[:, None]
+            vel = s2.vel.copy()
+            vel[hit] = rng.normal(size=(hit.sum(), 3)) * sigma[hit]
+            s2 = MDState(s2.pos, vel, s2.masses, s2.step)
+        return s2
+
+
+class BerendsenNPT(BerendsenNVT):
+    """Berendsen NPT: NVT velocity scaling + isotropic cell/position
+    rescaling toward the target pressure (requires a periodic system and
+    a virial-capable force field)."""
+
+    def __init__(self, ff, timestep_fs: float, temperature: float,
+                 pressure_gpa: float = 0.0, taut_fs: float = 100.0,
+                 taup_fs: float = 1000.0, compressibility_gpa: float = 0.457
+                 ) -> None:
+        super().__init__(ff, timestep_fs, temperature, taut_fs)
+        assert ff.cell is not None, "NPT requires a periodic cell"
+        self.pressure = pressure_gpa
+        self.taup = taup_fs / FS_PER_TIME_UNIT
+        self.beta = compressibility_gpa  # 1/GPa (default: water, 4.57e-5/bar)
+
+    def step(self, s: MDState, rng) -> MDState:
+        s2 = super().step(s, rng)
+        # instantaneous pressure: (2 Ekin + virial trace) / (3 V), eV/A^3
+        res = self.ff.calc.calculate(
+            self.ff.z, s2.pos / self.ff.l_conv, cell=self.ff.cell,
+            pbc=self.ff.pbc, charge=self.ff.charge, spin=self.ff.spin,
+        )
+        vir = res.get(keys.VIRIAL)
+        if vir is None:
+            raise RuntimeError("force field does not provide a virial; "
+                               "load the Calculator with compute_virial=True")
+        vol = abs(np.linalg.det(self.ff.cell))
+        ev_a3_to_gpa = 160.21766208
+        p_inst = (
+            (2 * s2.kinetic_energy() + np.trace(vir) * self.ff.e_conv)
+            / (3 * vol)
+        ) * ev_a3_to_gpa
+        scale = (
+            1.0 - (self.dt / self.taup) * self.beta * (self.pressure - p_inst)
+        ) ** (1.0 / 3.0)
+        self.ff.cell = self.ff.cell * scale
+        return MDState(s2.pos * scale, s2.vel, s2.masses, s2.step)
+
+
 ENSEMBLE_FACTORY = {
     "velocityverlet": VelocityVerlet,
     "nve": VelocityVerlet,
     "langevin": Langevin,
     "nvtberendsen": BerendsenNVT,
     "berendsen": BerendsenNVT,
+    "andersen": Andersen,
+    "nptberendsen": BerendsenNPT,
+    "npt": BerendsenNPT,
 }
 
 

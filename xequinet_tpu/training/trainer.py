@@ -27,6 +27,7 @@ from flax import serialization
 
 from .. import keys
 from ..utils.config import XequiConfig, config_to_dict
+from ..utils.profiling import StepTimer
 from .loss import ErrorMetric, MetricAccumulator, WeightedLoss
 from .lr_schedule import PlateauScheduler, resolve_lr_schedule, resolve_optimizer
 
@@ -286,6 +287,7 @@ class Trainer:
         )
         self.epoch = 0
         self.lr_scale = 1.0
+        self.step_timer = StepTimer()
         # best-k max-heap of (-loss, file) (reference utils/trainer.py:27-35)
         self.best_heap: List[Tuple[float, str]] = []
 
@@ -331,9 +333,11 @@ class Trainer:
         last_loss = float("nan")
         for step, raw in enumerate(self.train_loader):
             batch = self.device_put(raw)
+            self.step_timer.start()
             state, loss, metrics = self.train_step(
                 state, batch, jnp.asarray(self.lr_scale, dtype=jnp.float32)
             )
+            self.step_timer.stop()
             if (step + 1) % self.tc.log_steps == 0:
                 acc.update(jax.device_get(metrics))
                 last_loss = float(jax.device_get(loss))
@@ -436,11 +440,19 @@ class Trainer:
             results = self.validate()
             val_mae = self.weighted_mae(results)
             if epoch % tc.log_epochs == 0:
+                timing = self.step_timer.stats()
+                timing_str = (
+                    f" step {timing['mean_ms']:.1f}ms (p95 {timing['p95_ms']:.1f})"
+                    if timing
+                    else ""
+                )
                 self._log(
-                    f"== epoch {epoch} done in {time.time() - t0:.1f}s "
+                    f"== epoch {epoch} done in {time.time() - t0:.1f}s"
+                    f"{timing_str} "
                     f"train-loss {loss:.6f} valid weighted-MAE {val_mae:.6f}\n"
                     + _fmt_metrics(results)
                 )
+                self.step_timer.reset()
             self.save_best_k(val_mae)
             self.save_last(val_mae)
             if self.plateau is not None:
