@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p_test.add_argument("--config", "-C", default="config.yaml")
     p_test.add_argument("--ckpt", "-c", required=True)
     p_test.add_argument("--no-ema", action="store_true")
+    p_test.add_argument("--verbose", "-v", action="store_true")
+    p_test.add_argument("--results", default=None, help="per-structure dump file")
 
     p_infer = sub.add_parser("infer", help="predict properties for structures")
     p_infer.add_argument("--ckpt", "-c", required=True)

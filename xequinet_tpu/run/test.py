@@ -41,6 +41,8 @@ def run_test(
     config: XequiConfig,
     ckpt_file: str,
     use_ema: bool = True,
+    verbose: bool = False,
+    results_file: Optional[str] = None,
     logger=None,
 ) -> dict:
     logger = logger or ZeroLogger()
@@ -67,10 +69,47 @@ def run_test(
         return metric(out, batch)
 
     acc = MetricAccumulator()
+    dump = [] if (verbose or results_file) else None
     for raw in loader:
         batch = {k: jnp.asarray(v) for k, v in raw.items()}
         acc.update(jax.device_get(eval_step(params, batch)))
+        if dump is not None:
+            # per-structure predictions (reference run/test.py verbose dump,
+            # minus its fancy-index bugs)
+            out = jax.device_get(
+                jax.jit(
+                    lambda p, b: apply_forward(p, b, compute_forces, compute_virial)
+                )(params, batch)
+            )
+            gm = np.asarray(raw[keys.GRAPH_MASK])
+            ptr = np.asarray(raw[keys.BATCH_PTR])
+            for g in range(int(gm.sum())):
+                entry = {}
+                if keys.TOTAL_ENERGY in out:
+                    entry[keys.TOTAL_ENERGY] = float(
+                        np.asarray(out[keys.TOTAL_ENERGY])[g]
+                    )
+                    entry["target_" + keys.TOTAL_ENERGY] = float(
+                        np.asarray(raw[keys.TOTAL_ENERGY])[g]
+                    )
+                if keys.FORCES in out:
+                    entry[keys.FORCES] = np.asarray(out[keys.FORCES])[
+                        ptr[g] : ptr[g + 1]
+                    ]
+                dump.append(entry)
+                if verbose:
+                    logger.info(
+                        f"structure {len(dump) - 1}: "
+                        + " ".join(f"{k}={v}" for k, v in entry.items()
+                                   if np.isscalar(v))
+                    )
     results = acc.compute()
+    if results_file and dump is not None:
+        import pickle
+
+        with open(results_file, "wb") as f:
+            pickle.dump(dump, f)
+        logger.info(f"per-structure results written to {results_file}")
 
     from tabulate import tabulate
 
@@ -87,4 +126,10 @@ def run_test(
 
 def run_test_from_args(args) -> None:
     config = load_config(args.config)
-    run_test(config, args.ckpt, use_ema=not getattr(args, "no_ema", False))
+    run_test(
+        config,
+        args.ckpt,
+        use_ema=not getattr(args, "no_ema", False),
+        verbose=getattr(args, "verbose", False),
+        results_file=getattr(args, "results", None),
+    )

@@ -169,13 +169,45 @@ ATOM_MASS = np.array([0.0,
 # fmt: on
 
 
-def gen_int2c1e(embed_basis: str = "gfn2-xtb", aux_basis: str = "aux56") -> np.ndarray:
-    """Generate per-element embeddings from PySCF overlap integrals
-    (reference qc.py:193-219).  Requires pyscf + basis .dat files."""
-    raise NotImplementedError(
-        "PySCF is not available in this environment; use convert_torch_table "
-        "to convert a reference-precomputed table, or embed_basis='one-hot'."
+BASIS_FOLDER = THIS_FOLDER / "basis"
+
+
+def gen_int2c1e(embed_basis: str = "gfn2-xtb", aux_basis: str = "aux56") -> Path:
+    """Generate per-element embedding vectors by projecting each element's
+    AO basis onto an auxiliary basis via PySCF overlap integrals
+    (reference qc.py:193-219).  Requires pyscf; the xTB basis .dat files
+    ship with the package.  Saves <embed>_<aux>.npz and returns its path.
+    """
+    from pyscf import gto
+
+    basis = (
+        str(BASIS_FOLDER / f"{embed_basis}.dat")
+        if (BASIS_FOLDER / f"{embed_basis}.dat").exists()
+        else embed_basis
     )
+    orbaux = str(BASIS_FOLDER / f"{aux_basis}.dat")
+    aux = gto.M(atom="X 0 0 0", basis={"X": orbaux})
+    nao_aux = aux.nao
+    ao_loc_nr = aux.ao_loc_nr()[:-1]
+
+    rows = []
+    for atom, mult in zip(ELEMENTS_LIST[1:], ATOM_MULT[1:]):
+        mol = gto.M(
+            atom=f"X 0 0 0; {atom} 0 0 0",
+            basis={"X": orbaux, atom: basis},
+            spin=mult - 1,
+        )
+        ovlp = mol.intor("int1e_ovlp")
+        projection = ovlp[:nao_aux, nao_aux:]
+        embedding = np.sum(projection, axis=-1)
+        rows.append(embedding[ao_loc_nr])
+    table = np.stack(rows)
+    table = np.concatenate([np.zeros((1, table.shape[-1])), table])
+    PRE_FOLDER.mkdir(exist_ok=True)
+    out = PRE_FOLDER / f"{embed_basis}_{aux_basis}.npz"
+    np.savez(out, table=table)
+    get_embedding_table.cache_clear()
+    return out
 
 
 def convert_torch_table(pt_file: str, embed_basis: str, aux_basis: str) -> Path:
@@ -200,10 +232,13 @@ def get_embedding_table(
     flax module field).  Shape (n_elements+1, n_aux); row 0 is padding."""
     f = PRE_FOLDER / f"{embed_basis}_{aux_basis}.npz"
     if not f.exists():
-        raise FileNotFoundError(
-            f"No precomputed embedding table {f}; generate with gen_int2c1e "
-            "(needs pyscf) or convert one with convert_torch_table, or use "
-            "embed_basis='one-hot'."
-        )
+        try:
+            gen_int2c1e(embed_basis, aux_basis)
+        except ImportError as exc:
+            raise FileNotFoundError(
+                f"No precomputed embedding table {f} and PySCF is not "
+                "installed to generate it; convert one with "
+                "convert_torch_table, or use embed_basis='one-hot'."
+            ) from exc
     table = np.load(f)["table"].astype(np.float32)
     return tuple(tuple(float(v) for v in row) for row in table)
