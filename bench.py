@@ -83,16 +83,19 @@ def main() -> None:
     state = (params, optimizer.init(params), jax.tree_util.tree_map(jnp.copy, params))
     one = jnp.asarray(1.0)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: synchronize by FETCHING a value — on some
+    # remote backends (axon tunnel) block_until_ready returns without
+    # draining the queue, which silently turns the benchmark into a
+    # dispatch-latency measurement.
     for _ in range(3):
         state, loss, _ = step(state, batch, one)
-    jax.block_until_ready(state)
+    float(jax.device_get(loss))
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(state, batch, one)
-    jax.block_until_ready(state)
+    float(jax.device_get(loss))  # hard sync: loss depends on the full step
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = n_edges_real / dt

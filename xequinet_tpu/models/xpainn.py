@@ -113,22 +113,31 @@ class XPainnMessage(nn.Module):
         scalar_out = nn.Dense(hidden_dim)(h)
         filter_weight = nn.Dense(hidden_dim)(rbf) * fcut
 
-        filter_out = jnp.take(scalar_out, neighbor_idx, axis=0) * filter_weight
+        # one gather and one scatter per block: neighbor scalars and
+        # neighbor equivariants ride the same gather, and the scalar +
+        # equivariant messages ride the same segment sum — halves the
+        # number of large sparse ops the TPU executes per layer
+        src_cat = jnp.concatenate([scalar_out, node_equi], axis=-1)
+        gathered = jnp.take(src_cat, neighbor_idx, axis=0)
+        filter_out = gathered[..., :hidden_dim] * filter_weight
+        neighbor_equi = gathered[..., hidden_dim:]
+
         gate_state_equi = filter_out[..., :num_irreps]
         gate_edge_equi = filter_out[..., num_irreps : 2 * num_irreps]
         message_scalar = filter_out[..., 2 * num_irreps :]
 
-        message_equi = scalar_gate(
-            jnp.take(node_equi, neighbor_idx, axis=0), gate_state_equi, irreps
-        ) + scalar_gate(rsh, gate_edge_equi, irreps)
+        message_equi = scalar_gate(neighbor_equi, gate_state_equi, irreps) + scalar_gate(
+            rsh, gate_edge_equi, irreps
+        )
 
-        data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + segment_sum(
-            message_scalar, center_idx, n_nodes, edge_mask,
+        message_cat = jnp.concatenate([message_scalar, message_equi], axis=-1)
+        agg = segment_sum(
+            message_cat, center_idx, n_nodes, edge_mask,
             indices_are_sorted=True, scope="edges",
         )
-        data[keys.NODE_EQUIVARIANT] = data[keys.NODE_EQUIVARIANT] + segment_sum(
-            message_equi, center_idx, n_nodes, edge_mask,
-            indices_are_sorted=True, scope="edges",
+        data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + agg[..., : self.node_dim]
+        data[keys.NODE_EQUIVARIANT] = (
+            data[keys.NODE_EQUIVARIANT] + agg[..., self.node_dim :]
         )
         return data
 
