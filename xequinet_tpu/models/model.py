@@ -67,10 +67,25 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     output_modes = _as_list(kwargs.get("output_modes", ["energy"]))
     # rematerialization: recompute block activations in the backward pass
     # instead of storing them — jax.checkpoint per action block, trading
-    # FLOPs for HBM (enables much larger batches / supercells)
+    # FLOPs for HBM (enables much larger batches / supercells).
+    # remat_policy "save_edge_agg" keeps each block's edge-aggregation
+    # output resident so the backward pass skips recomputing the sparse
+    # gather/scatter pipeline (cheap elementwise work is still remat'd).
     remat: bool = kwargs.get("remat", False)
-    MessageCls = nn.remat(XPainnMessage) if remat else XPainnMessage
-    UpdateCls = nn.remat(XPainnUpdate) if remat else XPainnUpdate
+    remat_policy: str = kwargs.get("remat_policy", "full")
+    if remat:
+        import jax as _jax
+
+        policy = (
+            _jax.checkpoint_policies.save_only_these_names("edge_agg")
+            if remat_policy == "save_edge_agg"
+            else None
+        )
+        MessageCls = nn.remat(XPainnMessage, policy=policy)
+        UpdateCls = nn.remat(XPainnUpdate, policy=policy)
+    else:
+        MessageCls = XPainnMessage
+        UpdateCls = XPainnUpdate
 
     blocks: List[nn.Module] = [
         XEmbedding(

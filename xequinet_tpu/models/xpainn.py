@@ -13,6 +13,7 @@ from typing import Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .. import keys
 from ..ops.irreps import Irreps
@@ -135,6 +136,9 @@ class XPainnMessage(nn.Module):
             message_cat, center_idx, n_nodes, edge_mask,
             indices_are_sorted=True, scope="edges",
         )
+        # named for remat policies: saving the aggregation output lets
+        # rematerialization skip recomputing the gather/scatter pipeline
+        agg = checkpoint_name(agg, "edge_agg")
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + agg[..., : self.node_dim]
         data[keys.NODE_EQUIVARIANT] = (
             data[keys.NODE_EQUIVARIANT] + agg[..., self.node_dim :]
