@@ -67,6 +67,8 @@ def main() -> None:
         action_blocks=3,
         output_modes=["energy"],
         remat=True,  # rematerialized backward: larger batches fit in HBM
+        compute_dtype="bfloat16",  # bf16 edge pipeline: 1.5x step speedup,
+        # f32 params/accumulation (accuracy validated in tests, PERF.md)
     )
     params = init_params(module, batch_np)
     apply_forward = make_apply_forward(module, extra)

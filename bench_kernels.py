@@ -59,11 +59,83 @@ def counts_cap(e, n, bn):
     return int(e / (n / bn) * 2.5 + 64)
 
 
+
+
+def run_v2(n_mols=1024, d=512, bn=256, chunk=1024, pad_nodes=32, iters=20):
+    """v2 one-hot MXU kernel vs XLA on molecule-contiguous batches."""
+    import numpy as np
+
+    from xequinet_tpu.ops.pallas_scatter_v2 import (
+        gather_scale_scatter_v2,
+        prepare_v2,
+        reference_impl,
+    )
+
+    rng = np.random.default_rng(0)
+    src_all, dst_all = [], []
+    off = 0
+    for _ in range(n_mols):
+        k = int(rng.integers(12, 29))
+        for i in range(k):
+            for j in range(k):
+                if i != j and rng.random() < 0.5:
+                    dst_all.append(off + i)
+                    src_all.append(off + j)
+        off += k
+    order = np.argsort(np.asarray(dst_all), kind="stable")
+    src = np.asarray(src_all)[order].astype(np.int32)
+    dst = np.asarray(dst_all)[order].astype(np.int32)
+    n = ((off + bn - 1) // bn) * bn
+    e = len(src)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32))
+
+    (src2, dst2, sel, cb, nc, ws, window, mx) = prepare_v2(
+        src, dst, n, bn, chunk, pad_nodes
+    )
+    sel_j = jnp.asarray(sel)
+    pad_frac = len(sel) / e
+
+    @jax.jit
+    def pallas_v2(x, w):
+        w2 = jnp.where(
+            (sel_j >= 0)[:, None], jnp.take(w, jnp.clip(sel_j, 0, None), axis=0), 0.0
+        )
+        return gather_scale_scatter_v2(
+            x, w2, jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+            jnp.asarray(nc), jnp.asarray(ws), n, bn, chunk, window, mx,
+        )
+
+    @jax.jit
+    def xla_op(x, w):
+        return reference_impl(x, jnp.asarray(src), jnp.asarray(dst), w, n)
+
+    print(f"v2 problem: n={n} e={e} d={d} bn={bn} chunk={chunk} "
+          f"window={window} pad_frac={pad_frac:.2f}")
+    outs = {}
+    for name, op in (("xla", xla_op), ("pallas_v2", pallas_v2)):
+        o = op(x, w)
+        float(jax.device_get(o[0, 0]))  # hard sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = op(x, w)
+        float(jax.device_get(o[0, 0]))
+        dt = (time.perf_counter() - t0) / iters
+        outs[name] = o
+        print(f"{name:10s}: {dt*1e3:8.3f} ms  {e/dt/1e6:8.1f} M edges/s")
+    err = float(jnp.abs(outs["xla"] - outs["pallas_v2"]).max())
+    ref = float(jnp.abs(outs["xla"]).max())
+    print(f"max |xla - pallas_v2| = {err:.3e} (rel {err/ref:.2e})")
+
+
 if __name__ == "__main__":
-    print("backend:", jax.default_backend())
-    # the pallas scaffold is sequential per edge: benchmark it on a small
-    # problem (numbers in ops/pallas_scatter.py docstring), XLA at scale
-    run(n=2048, e=20480, iters=20, pallas_iters=2)
-    run_xla_only = run  # full-size XLA reference
     import sys
-    sys.stdout.flush()
+
+    print("backend:", jax.default_backend())
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "v1"):
+        # v1 scaffold is sequential per edge — benchmark it small
+        # (analysis in ops/pallas_scatter.py docstring)
+        run(n=2048, e=20480, iters=20, pallas_iters=2)
+    if which in ("all", "v2"):
+        run_v2()

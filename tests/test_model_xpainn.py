@@ -243,3 +243,23 @@ def test_remat_matches_no_remat(rng):
         np.asarray(out1[keys.FORCES]), np.asarray(out2[keys.FORCES]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_bf16_compute_close_to_f32(rng):
+    """bf16 message pipeline: energies/forces within ~1% of f32."""
+    from xequinet_tpu.models.model import init_params, make_apply_forward
+
+    dp = make_molecule(rng, n=8)
+    data = batch_of([dp])
+    m32, e32, _ = resolve_model("xpainn", **KW)
+    params = init_params(m32, collate([dp]))
+    m16, e16, _ = resolve_model("xpainn", **KW, compute_dtype="bfloat16")
+    out32 = make_apply_forward(m32, e32)(params, data, True, False)
+    out16 = make_apply_forward(m16, e16)(params, data, True, False)
+    e_a = float(out32[keys.TOTAL_ENERGY][0])
+    e_b = float(out16[keys.TOTAL_ENERGY][0])
+    assert abs(e_a - e_b) / max(abs(e_a), 1e-6) < 0.02, (e_a, e_b)
+    f_a = np.asarray(out32[keys.FORCES])[: dp.num_atoms]
+    f_b = np.asarray(out16[keys.FORCES])[: dp.num_atoms]
+    denom = max(np.abs(f_a).max(), 1e-6)
+    assert np.abs(f_a - f_b).max() / denom < 0.05, np.abs(f_a - f_b).max() / denom

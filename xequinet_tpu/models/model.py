@@ -103,6 +103,7 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
         blocks.append(ChargeEmbedding(node_dim=node_dim, activation=activation))
     if spin_embed:
         blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
+    compute_dtype: str = kwargs.get("compute_dtype", "float32")
     for _ in range(action_blocks):
         blocks.append(
             MessageCls(
@@ -111,6 +112,7 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
                 num_basis=num_basis,
                 activation=activation,
                 layer_norm=layer_norm,
+                compute_dtype=compute_dtype,
             )
         )
         blocks.append(
