@@ -96,11 +96,28 @@ def run_v2(n_mols=1024, d=512, bn=256, chunk=1024, pad_nodes=32, iters=20):
     sel_j = jnp.asarray(sel)
     pad_frac = len(sel) / e
 
+    def make_v2(dtype):
+        @jax.jit
+        def pallas_v2(x, w):
+            w2 = jnp.where(
+                (sel_j >= 0)[:, None],
+                jnp.take(w, jnp.clip(sel_j, 0, None), axis=0), 0.0,
+            ).astype(dtype)
+            return gather_scale_scatter_v2(
+                x, w2, jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+                jnp.asarray(nc), jnp.asarray(ws), n, bn, chunk, window, mx,
+            )
+        return pallas_v2
+
+    pallas_v2 = make_v2(jnp.float32)
+    pallas_v2_bf16 = make_v2(jnp.bfloat16)
+    # intrinsic kernel cost: weights already in the block-aligned layout
+    w2_pre = jnp.where(
+        (sel_j >= 0)[:, None], jnp.take(w, jnp.clip(sel_j, 0, None), axis=0), 0.0
+    )
+
     @jax.jit
-    def pallas_v2(x, w):
-        w2 = jnp.where(
-            (sel_j >= 0)[:, None], jnp.take(w, jnp.clip(sel_j, 0, None), axis=0), 0.0
-        )
+    def pallas_v2_prelaid(x, w2):
         return gather_scale_scatter_v2(
             x, w2, jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
             jnp.asarray(nc), jnp.asarray(ws), n, bn, chunk, window, mx,
@@ -113,12 +130,18 @@ def run_v2(n_mols=1024, d=512, bn=256, chunk=1024, pad_nodes=32, iters=20):
     print(f"v2 problem: n={n} e={e} d={d} bn={bn} chunk={chunk} "
           f"window={window} pad_frac={pad_frac:.2f}")
     outs = {}
-    for name, op in (("xla", xla_op), ("pallas_v2", pallas_v2)):
-        o = op(x, w)
+    cases = (
+        ("xla", xla_op, (x, w)),
+        ("pallas_v2", pallas_v2, (x, w)),
+        ("v2_prelaid", pallas_v2_prelaid, (x, w2_pre)),
+        ("v2_bf16", pallas_v2_bf16, (x, w)),
+    )
+    for name, op, args in cases:
+        o = op(*args)
         float(jax.device_get(o[0, 0]))  # hard sync
         t0 = time.perf_counter()
         for _ in range(iters):
-            o = op(x, w)
+            o = op(*args)
         float(jax.device_get(o[0, 0]))
         dt = (time.perf_counter() - t0) / iters
         outs[name] = o

@@ -41,6 +41,7 @@ def collate(
     n_edges: Optional[int] = None,
     n_graphs: Optional[int] = None,
     dtype: np.dtype = np.float32,
+    kernel_layout: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Collate datapoints into one padded batch dict (host-side numpy).
 
@@ -169,6 +170,8 @@ def collate(
         out[keys.CELL] = cell
         out[keys.PBC] = pbc
         out[keys.CELL_OFFSETS] = cell_offsets
+    if kernel_layout is not None:
+        out = _apply_kernel_layout(out, kernel_layout)
     if has["charge"]:
         out[keys.TOTAL_CHARGE] = charge
     if has["spin"]:
@@ -185,4 +188,86 @@ def collate(
         out[keys.DIPOLE] = dipole
     if has["polar"]:
         out[keys.POLARIZABILITY] = polar
+    return out
+
+
+def _apply_kernel_layout(
+    batch: Dict[str, np.ndarray], layout: Dict[str, int]
+) -> Dict[str, np.ndarray]:
+    """Re-lay the edge axis into the block-aligned slot order consumed by
+    the one-hot MXU kernel (ops/pallas_scatter_v2): per destination-block
+    edge runs padded to multiples of ``chunk``, node capacity a multiple
+    of ``block_nodes``.  Emits K_* metadata keys; the slot order remains
+    center-sorted (padding slots carry the next block's first node) so
+    the XLA path and its invariants keep working on the same batch.
+
+    layout: {"block_nodes": BN, "chunk": C, "pad_nodes": P,
+             "max_chunks": cap} — must match the model's pallas settings.
+    """
+    from ..ops.pallas_scatter_v2 import prepare_v2
+
+    bn = layout["block_nodes"]
+    chunk = layout["chunk"]
+    pad_nodes = layout["pad_nodes"]
+    cap_chunks = layout.get("max_chunks", 0)
+
+    n0 = batch[keys.POSITIONS].shape[0]
+    window = bn + 2 * ((pad_nodes + 7) // 8) * 8
+    n_nodes = max(((n0 + bn - 1) // bn) * bn, ((window + bn - 1) // bn) * bn)
+    if n_nodes != n0:
+        batch = dict(batch)
+        for k, pad_val in (
+            (keys.ATOMIC_NUMBERS, 0),
+            (keys.POSITIONS, 0.0),
+            (keys.NODE_MASK, False),
+            (keys.FORCES, 0.0),
+            (keys.ATOMIC_CHARGES, 0.0),
+        ):
+            if k in batch:
+                a = batch[k]
+                pad = np.full((n_nodes - n0,) + a.shape[1:], pad_val, a.dtype)
+                batch[k] = np.concatenate([a, pad])
+        bpad = np.full(
+            n_nodes - n0, batch[keys.GRAPH_MASK].shape[0] - 1, np.int32
+        )
+        batch[keys.BATCH] = np.concatenate([batch[keys.BATCH], bpad])
+
+    em = batch[keys.EDGE_MASK]
+    real = np.nonzero(em)[0]
+    src = batch[keys.EDGE_INDEX][1, real]
+    dst = batch[keys.EDGE_INDEX][0, real]
+    src2, dst2, sel, cb, nc, ws, window, mx = prepare_v2(
+        src, dst, n_nodes, bn, chunk, pad_nodes
+    )
+    if cap_chunks and mx > cap_chunks:
+        raise ValueError(
+            f"kernel layout overflow: a block needs {mx} chunks > cap "
+            f"{cap_chunks}; lower the batch density or raise max_chunks"
+        )
+    total = len(sel)
+    valid = sel >= 0
+    safe = np.clip(sel, 0, None)
+
+    out = dict(batch)
+    # padding slots carry the owning block's boundary node: keeps centers
+    # sorted for the indices_are_sorted XLA path
+    slot_chunk = np.arange(total) // chunk
+    block_id = np.searchsorted(cb, slot_chunk, side="right") - 1
+    pad_center = np.minimum((block_id + 1) * bn, n_nodes - 1)
+    ei = np.stack([
+        np.where(valid, dst[safe], pad_center),
+        np.where(valid, src[safe], pad_center),
+    ]).astype(np.int32)
+    out[keys.EDGE_INDEX] = ei
+    out[keys.EDGE_MASK] = valid
+    if keys.CELL_OFFSETS in batch:
+        co = batch[keys.CELL_OFFSETS][real]
+        out[keys.CELL_OFFSETS] = np.where(
+            valid[:, None], co[safe], 0.0
+        ).astype(batch[keys.CELL_OFFSETS].dtype)
+    out[keys.K_SRC2] = src2
+    out[keys.K_DST2] = dst2
+    out[keys.K_CHUNK_BASE] = cb
+    out[keys.K_NCHUNKS] = nc
+    out[keys.K_WSTARTS] = ws
     return out

@@ -26,6 +26,13 @@ EDGE_MASK: Final[str] = "edge_mask"
 GRAPH_MASK: Final[str] = "graph_mask"
 NUM_ATOMS: Final[str] = "num_atoms"  # per-graph real atom counts
 
+# pallas kernel layout (block-aligned edge slots; see ops/pallas_scatter_v2)
+K_SRC2: Final[str] = "k_src2"
+K_DST2: Final[str] = "k_dst2"
+K_CHUNK_BASE: Final[str] = "k_chunk_base"
+K_NCHUNKS: Final[str] = "k_nchunks"
+K_WSTARTS: Final[str] = "k_window_starts"
+
 # intermediate variables
 CENTER_IDX: Final[int] = 0
 NEIGHBOR_IDX: Final[int] = 1

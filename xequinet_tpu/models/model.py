@@ -104,6 +104,8 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     if spin_embed:
         blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
     compute_dtype: str = kwargs.get("compute_dtype", "float32")
+    use_pallas: bool = kwargs.get("use_pallas_scatter", False)
+    pallas_layout = tuple(kwargs.get("pallas_layout", (256, 1024, 32, 8)))
     for _ in range(action_blocks):
         blocks.append(
             MessageCls(
@@ -113,6 +115,8 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
                 activation=activation,
                 layer_norm=layer_norm,
                 compute_dtype=compute_dtype,
+                use_pallas=use_pallas,
+                pallas_layout=pallas_layout,
             )
         )
         blocks.append(

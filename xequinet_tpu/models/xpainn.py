@@ -95,6 +95,10 @@ class XPainnMessage(nn.Module):
     activation: str = "silu"
     layer_norm: bool = True
     compute_dtype: str = "float32"
+    # one-hot MXU kernel for the equivariant-state gather/scatter
+    # (requires collate(kernel_layout=...); ops/pallas_scatter_v2)
+    use_pallas: bool = False
+    pallas_layout: tuple = (256, 1024, 32, 8)  # (BN, chunk, pad_nodes, max_chunks)
 
     @nn.compact
     def __call__(self, data: DataDict) -> DataDict:
@@ -124,22 +128,67 @@ class XPainnMessage(nn.Module):
         filter_weight = nn.Dense(hidden_dim, dtype=cdtype)(rbf) * fcut.astype(cdtype)
         node_equi = node_equi.astype(cdtype)
 
+        use_kernel = self.use_pallas and keys.K_SRC2 in data
         # one gather and one scatter per block: neighbor scalars and
         # neighbor equivariants ride the same gather, and the scalar +
         # equivariant messages ride the same segment sum — halves the
-        # number of large sparse ops the TPU executes per layer
-        src_cat = jnp.concatenate([scalar_out, node_equi], axis=-1)
-        gathered = jnp.take(src_cat, neighbor_idx, axis=0)
-        filter_out = gathered[..., :hidden_dim] * filter_weight
-        neighbor_equi = gathered[..., hidden_dim:]
+        # number of large sparse ops the TPU executes per layer.
+        # (with the pallas kernel, the equivariant gather happens inside
+        # the kernel, so only the scalars are gathered here)
+        if use_kernel:
+            gathered = jnp.take(scalar_out, neighbor_idx, axis=0)
+            filter_out = gathered * filter_weight
+            neighbor_equi = None
+        else:
+            src_cat = jnp.concatenate([scalar_out, node_equi], axis=-1)
+            gathered = jnp.take(src_cat, neighbor_idx, axis=0)
+            filter_out = gathered[..., :hidden_dim] * filter_weight
+            neighbor_equi = gathered[..., hidden_dim:]
 
         gate_state_equi = filter_out[..., :num_irreps]
         gate_edge_equi = filter_out[..., num_irreps : 2 * num_irreps]
         message_scalar = filter_out[..., 2 * num_irreps :]
 
-        message_equi = scalar_gate(neighbor_equi, gate_state_equi, irreps) + scalar_gate(
-            rsh, gate_edge_equi, irreps
-        )
+        if use_kernel:
+            # equivariant-state message through the one-hot MXU kernel:
+            # out[c] = sum_e node_equi[src[e]] * expand(gate_state[e]);
+            # the gate expansion and the remaining (scalar + rsh) streams
+            # stay on the XLA path
+            from ..ops.pallas_scatter_v2 import fused_gather_scale_scatter
+
+            bn_, chunk_, pad_nodes_, max_chunks_ = self.pallas_layout
+            window_ = bn_ + 2 * ((pad_nodes_ + 7) // 8) * 8
+            dim = irreps.dim
+            d_pad = ((dim + 127) // 128) * 128
+            ones = jnp.ones((1, dim), dtype=gate_state_equi.dtype)
+            g1exp = scalar_gate(
+                jnp.broadcast_to(ones, (gate_state_equi.shape[0], dim)),
+                gate_state_equi,
+                irreps,
+            )
+            g1exp = jnp.where(edge_mask[:, None], g1exp, 0.0)
+            # the (post-LayerNorm) equivariant state the XLA path gathers
+            x_eq = node_equi.astype(jnp.float32)
+            if d_pad != dim:
+                x_eq = jnp.pad(x_eq, ((0, 0), (0, d_pad - dim)))
+                g1exp = jnp.pad(g1exp, ((0, 0), (0, d_pad - dim)))
+            meta = (
+                data[keys.K_SRC2],
+                data[keys.K_DST2],
+                center_idx,
+                data[keys.K_CHUNK_BASE],
+                data[keys.K_NCHUNKS],
+                data[keys.K_WSTARTS],
+            )
+            equi_state_agg = fused_gather_scale_scatter(
+                x_eq, g1exp.astype(jnp.float32), neighbor_idx, meta,
+                n_nodes, bn_, chunk_, window_, max_chunks_,
+            )[:, :dim]
+            message_equi = scalar_gate(rsh, gate_edge_equi, irreps)
+        else:
+            message_equi = scalar_gate(
+                neighbor_equi, gate_state_equi, irreps
+            ) + scalar_gate(rsh, gate_edge_equi, irreps)
 
         message_cat = jnp.concatenate([message_scalar, message_equi], axis=-1)
         agg = segment_sum(
@@ -150,6 +199,10 @@ class XPainnMessage(nn.Module):
         # rematerialization skip recomputing the gather/scatter pipeline
         agg = checkpoint_name(agg, "edge_agg")
         agg = agg.astype(data[keys.NODE_INVARIANT].dtype)
+        if use_kernel:
+            agg = agg.at[..., self.node_dim :].add(
+                equi_state_agg.astype(agg.dtype)
+            )
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + agg[..., : self.node_dim]
         data[keys.NODE_EQUIVARIANT] = (
             data[keys.NODE_EQUIVARIANT] + agg[..., self.node_dim :]

@@ -138,16 +138,19 @@ def _kernel(
     def _():
         src_vec = src_ref[...]
         dst_vec = dst_ref[...]
+        mm_dtype = w_ref.dtype  # bf16 inputs -> bf16 MXU passes (2x)
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
-        onehot_src = (col == src_vec[:, None]).astype(jnp.float32)
+        onehot_src = (col == src_vec[:, None]).astype(mm_dtype)
         gathered = jnp.dot(
-            onehot_src, xwin_ref[...], preferred_element_type=jnp.float32
+            onehot_src, xwin_ref[...].astype(mm_dtype),
+            preferred_element_type=jnp.float32,
         )
-        messages = gathered * w_ref[...]
+        messages = gathered * w_ref[...].astype(jnp.float32)
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
-        onehot_dst = (rowb == dst_vec[None, :]).astype(jnp.float32)
+        onehot_dst = (rowb == dst_vec[None, :]).astype(mm_dtype)
         out_ref[...] += jnp.dot(
-            onehot_dst, messages, preferred_element_type=jnp.float32
+            onehot_dst, messages.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
         ).astype(out_ref.dtype)
 
 
@@ -223,3 +226,51 @@ def reference_impl(x, src, dst, w, n_out):
         jnp.take(x, src, axis=0) * w, dst, num_segments=n_out,
         indices_are_sorted=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper for model integration
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def fused_gather_scale_scatter(
+    x, w, slot_src_global, slot_meta, n_out, block_nodes, chunk, window,
+    max_chunks,
+):
+    """out[c] = sum_slots [dst==c] x[src]*w, via the one-hot MXU kernel.
+
+    ``w`` is already in block-aligned slot order with zeros on padding
+    slots (the model computes it there natively when collate emits the
+    kernel layout).  ``slot_src_global`` are the global source indices per
+    slot (for the XLA transpose); slot_meta = (src2, dst2, dst_global,
+    chunk_base, n_chunks, window_starts).
+    """
+    src2, dst2, dst_global, chunk_base, n_chunks, window_starts = slot_meta
+    return gather_scale_scatter_v2(
+        x, w, src2, dst2, chunk_base, n_chunks, window_starts,
+        n_out, block_nodes, chunk, window, max_chunks,
+    )
+
+
+def _fused_fwd(x, w, slot_src_global, slot_meta, n_out, block_nodes, chunk,
+               window, max_chunks):
+    out = fused_gather_scale_scatter(
+        x, w, slot_src_global, slot_meta, n_out, block_nodes, chunk, window,
+        max_chunks,
+    )
+    return out, (x, w, slot_src_global, slot_meta)
+
+
+def _fused_bwd(n_out, block_nodes, chunk, window, max_chunks, res, g):
+    x, w, src_g, slot_meta = res
+    dst_g = slot_meta[2]
+    ge = jnp.take(g, dst_g, axis=0)
+    # transposes run on XLA (differentiable for the grad-of-grad of force
+    # training); a src-sorted kernel pass is the future fast path
+    dx = jax.ops.segment_sum(ge * w, src_g, num_segments=x.shape[0])
+    dw = ge * jnp.take(x, src_g, axis=0)
+    return (dx, dw, None, None)
+
+
+fused_gather_scale_scatter.defvjp(_fused_fwd, _fused_bwd)
