@@ -260,3 +260,78 @@ def test_export_roundtrip(trained_ckpt, tmp_path, rng):
     )
     assert np.isfinite(float(energy))
     assert np.isfinite(np.asarray(forces)).all()
+
+
+def test_calculator_pbc_path(trained_ckpt, rng):
+    """Calculator with a periodic cell: energy/forces/virial finite and
+    consistent with the batch pipeline."""
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_np
+
+    ckpt, _, _ = trained_ckpt
+    calc = Calculator(ckpt, compute_virial=True)
+    cell = np.diag([6.0, 6.5, 7.0])
+    pos = rng.uniform(0, 1, size=(6, 3)) @ cell
+    z = rng.integers(1, 5, 6).astype(np.int32)
+    res = calc.calculate(z, pos, cell=cell, pbc=np.ones(3, bool))
+    assert np.isfinite(res[keys.TOTAL_ENERGY])
+    assert np.isfinite(res[keys.FORCES]).all()
+    assert np.isfinite(res[keys.VIRIAL]).all()
+
+    # consistency vs explicit batch path
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.run.inference import InferenceEngine
+
+    ei, offs = radius_graph_pbc_np(pos, cell, np.ones(3, bool), calc.cutoff)
+    dp = Datapoint(z, pos, cell=cell, pbc=np.ones(3, bool),
+                   edge_index=ei, cell_offsets=offs)
+    engine = InferenceEngine(ckpt)
+    r2 = engine.predict([dp], compute_forces=True)[0]
+    np.testing.assert_allclose(
+        res[keys.TOTAL_ENERGY], float(r2[keys.TOTAL_ENERGY]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_export_unit_styles(trained_ckpt, tmp_path, rng):
+    """'real' unit style folds kcal/mol conversion into the export."""
+    from xequinet_tpu.interface.export import export_model, load_exported
+    from xequinet_tpu.utils.qc import unit_conversion
+
+    ckpt, _, _ = trained_ckpt
+    out_m = export_model(ckpt, str(tmp_path / "m"), max_atoms=16, max_edges=128,
+                         unit_style="metal", compute_virial=False)
+    out_r = export_model(ckpt, str(tmp_path / "r"), max_atoms=16, max_edges=128,
+                         unit_style="real", compute_virial=False)
+    em, _ = load_exported(out_m)
+    er, _ = load_exported(out_r)
+    dp = random_dp(rng, labels=False, edges=True)
+    import jax.numpy as jnp
+
+    pos = np.zeros((16, 3), np.float32); pos[: dp.num_atoms] = dp.pos
+    z = np.zeros(16, np.int32); z[: dp.num_atoms] = dp.atomic_numbers
+    ei = np.zeros((2, 128), np.int32); ei[:, : dp.num_edges] = dp.edge_index
+    msk = np.arange(128) < dp.num_edges
+    args = (jnp.asarray(pos), jnp.asarray(z), jnp.asarray(ei), jnp.asarray(msk),
+            jnp.zeros(1, jnp.int32))
+    e_metal, _ = em.call(*args)
+    e_real, _ = er.call(*args)
+    factor = unit_conversion("eV", "kcal/mol")
+    np.testing.assert_allclose(
+        float(e_real), float(e_metal) * factor, rtol=1e-4
+    )
+
+
+def test_loader_drops_oversized(rng):
+    """Graphs exceeding capacities are dropped and counted."""
+    from xequinet_tpu.data.dataset import DataLoader, InMemoryDataset
+
+    big = random_dp(rng, n=30, edges=True)
+    small = [random_dp(rng, n=4, edges=True) for _ in range(4)]
+    ds = InMemoryDataset(small + [big])
+    loader = DataLoader(
+        ds, batch_size=4,
+        capacities={"n_nodes": 16, "n_edges": 64, "n_graphs": 5},
+    )
+    seen = sum(int(b[keys.GRAPH_MASK].sum()) for b in loader)
+    assert seen == 4
+    assert loader.n_dropped == 1
