@@ -171,3 +171,61 @@ def test_synthetic_training_learns(tmp_path):
     params2 = restore_params(params, blob["model"])
     out = apply_forward(params2, {k: jnp.asarray(v) for k, v in sample.items()}, False, False)
     assert np.isfinite(np.asarray(out[keys.TOTAL_ENERGY])).all()
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM during training writes a resumable last checkpoint."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import os, signal, threading
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        import sys
+        sys.path.insert(0, {str(tmp_path.parent.parent / '..')!r})
+        sys.path.insert(0, "/root/repo")
+        from xequinet_tpu import keys
+        from xequinet_tpu.data import Datapoint, create_dataset
+        from xequinet_tpu.run.train import run_train
+        from xequinet_tpu.utils.config import XequiConfig
+
+        rng = np.random.default_rng(0)
+        dps = []
+        for _ in range(16):
+            pos = rng.normal(size=(5, 3)) * 1.5
+            dps.append(Datapoint(rng.integers(1, 5, 5).astype(np.int32), pos,
+                                 energy=float(rng.normal()),
+                                 forces=rng.normal(size=(5, 3))))
+        create_dataset({str(tmp_path / 'db')!r}, dps, units={{}})
+        cfg = XequiConfig()
+        cfg.model.model_kwargs = dict(node_dim=16, node_irreps="16x0e+8x1o+4x2e",
+            embed_basis="one-hot", num_basis=8, action_blocks=1,
+            output_modes=["energy"])
+        cfg.data.db_path = {str(tmp_path / 'db')!r}
+        cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
+        cfg.data.batch_size = 4
+        cfg.trainer.max_epochs = 10000
+        cfg.trainer.warmup_epochs = 1
+        cfg.trainer.save_dir = {str(tmp_path)!r}
+        cfg.trainer.log_steps = 100000
+
+        # SIGTERM ourselves shortly after training starts
+        threading.Timer(20.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+        run_train(cfg)
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 128 + signal.SIGTERM, proc.stderr[-2000:]
+    ckpt = tmp_path / "xequinet_last.ckpt"
+    assert ckpt.exists(), proc.stderr[-2000:]
+    from xequinet_tpu.training.trainer import load_checkpoint
+
+    blob = load_checkpoint(str(ckpt))
+    assert "model" in blob and "opt_state" in blob

@@ -15,6 +15,7 @@ import heapq
 import math
 import os
 import pickle
+import signal
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -431,8 +432,29 @@ class Trainer:
         self._log(f"resumed from {path} at epoch {self.epoch}")
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self) -> None:
+        """Preemption safety on TPU pods: SIGTERM/SIGINT save a resumable
+        last-checkpoint before exiting (the reference has no preemption
+        story, SURVEY.md §5.3)."""
+
+        def _handler(signum, frame):
+            self._log(
+                f"signal {signum}: writing preemption checkpoint and exiting"
+            )
+            try:
+                self.save_last(float("inf"))
+            finally:
+                raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _handler)
+            except ValueError:
+                pass  # not the main thread (e.g. tests)
+
     def start(self) -> None:
         tc = self.tc
+        self._install_preemption_handler()
         for epoch in range(self.epoch, tc.max_epochs):
             self.epoch = epoch
             t0 = time.time()
