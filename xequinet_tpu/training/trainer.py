@@ -307,6 +307,8 @@ class Trainer:
         )
 
         os.makedirs(tc.save_dir, exist_ok=True)
+        # install early: preemption can arrive during the first compile
+        self._install_preemption_handler()
         if tc.resume and tc.ckpt_file and os.path.exists(tc.ckpt_file):
             self._resume(tc.ckpt_file)
         elif tc.ckpt_file and os.path.exists(tc.ckpt_file):
@@ -454,7 +456,6 @@ class Trainer:
 
     def start(self) -> None:
         tc = self.tc
-        self._install_preemption_handler()
         for epoch in range(self.epoch, tc.max_epochs):
             self.epoch = epoch
             t0 = time.time()
