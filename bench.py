@@ -4,7 +4,9 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The metric is the north star from BASELINE.json: edges/s/chip through the
 full production hot loop (forward incl. force autodiff + loss + backward +
-optimizer update) on the flagship XPaiNN configuration.  The reference
+optimizer update) on the flagship XPaiNN configuration.  NOTE: the first
+compile of this program can take 10-15 minutes through the axon remote
+compiler; subsequent runs hit the cache.  Budget >= 20 minutes.  The reference
 publishes no numbers (BASELINE.md), so vs_baseline compares against the
 last locally recorded value in bench_history.json (1.0 on first run).
 """

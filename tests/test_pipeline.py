@@ -335,3 +335,19 @@ def test_loader_drops_oversized(rng):
     seen = sum(int(b[keys.GRAPH_MASK].sum()) for b in loader)
     assert seen == 4
     assert loader.n_dropped == 1
+
+
+def test_cli_dispatch(trained_ckpt, tmp_path, rng, capsys):
+    """xeq CLI: help works; infer subcommand runs end to end."""
+    from xequinet_tpu.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--help"])
+    assert exc.value.code == 0
+
+    ckpt, _, _ = trained_ckpt
+    dps = [random_dp(rng, labels=False)]
+    xyz = tmp_path / "cli.xyz"
+    write_xyz(xyz, dps)
+    rc = main(["infer", "-c", ckpt, "-in", str(xyz), "--forces"])
+    assert rc == 0
