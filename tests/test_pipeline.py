@@ -351,3 +351,39 @@ def test_cli_dispatch(trained_ckpt, tmp_path, rng, capsys):
     write_xyz(xyz, dps)
     rc = main(["infer", "-c", ckpt, "-in", str(xyz), "--forces"])
     assert rc == 0
+
+
+def test_export_dipole_mode(tmp_path, rng):
+    """Dipole deployment export (the XPaiNNDipole analogue)."""
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.interface.export import export_model, load_exported
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+
+    kw = dict(node_dim=16, node_irreps="16x0e+8x1o+4x2e", embed_basis="one-hot",
+              num_basis=8, action_blocks=1,
+              output_modes=["energy", "charges", "dipole"])
+    module, extra, _ = resolve_model("xpainn", **kw)
+    dp = random_dp(rng, labels=False, edges=True)
+    params = init_params(module, collate([dp]))
+    ckpt = tmp_path / "d.ckpt"
+    save_checkpoint(str(ckpt), params,
+                    config_to_dict(ModelConfig(model_name="xpainn",
+                                               model_kwargs=kw)))
+    out = export_model(str(ckpt), str(tmp_path / "exp"), max_atoms=16,
+                       max_edges=128, output_mode="dipole")
+    exported, manifest = load_exported(out)
+    assert manifest["output_mode"] == "dipole"
+    import jax.numpy as jnp
+
+    pos = np.zeros((16, 3), np.float32); pos[: dp.num_atoms] = dp.pos
+    z = np.zeros(16, np.int32); z[: dp.num_atoms] = dp.atomic_numbers
+    ei = np.zeros((2, 128), np.int32); ei[:, : dp.num_edges] = dp.edge_index
+    msk = np.arange(128) < dp.num_edges
+    q, mu = exported.call(jnp.asarray(pos), jnp.asarray(z), jnp.asarray(ei),
+                          jnp.asarray(msk), jnp.zeros(1, jnp.int32))
+    assert np.isfinite(np.asarray(q)).all()
+    assert np.asarray(mu).shape == (3,) and np.isfinite(np.asarray(mu)).all()
+    # charge conservation survives the export
+    np.testing.assert_allclose(np.asarray(q)[: dp.num_atoms].sum(), 0.0, atol=1e-4)

@@ -58,6 +58,8 @@ def main(argv=None) -> int:
     p_export.add_argument("--max-atoms", type=int, default=256)
     p_export.add_argument("--max-edges", type=int, default=8192)
     p_export.add_argument("--unit-style", default="metal")
+    p_export.add_argument("--mode", default="energy",
+                          choices=["energy", "dipole"])
 
     args = parser.parse_args(argv)
 

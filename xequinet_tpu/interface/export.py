@@ -35,9 +35,16 @@ from ..utils.qc import ELEMENTS_LIST, get_default_units, unit_conversion
 def make_batchless_forward(apply_forward, params, n_cap: int, e_cap: int,
                            energy_conv: float, pos_conv: float,
                            compute_virial: bool = False,
-                           has_charge: bool = False):
-    """Single-structure forward in deployment units
-    (the XPaiNNLMP analogue)."""
+                           has_charge: bool = False,
+                           output_mode: str = "energy"):
+    """Single-structure forward in deployment units.
+
+    ``output_mode="energy"`` mirrors the reference XPaiNNLMP signature
+    (energy/forces[/virial], interface/jit_model.py:12-89);
+    ``output_mode="dipole"`` mirrors XPaiNNDipole (jit_model.py:92-145),
+    returning atomic charges and the total dipole for LAMMPS dipole
+    computes.
+    """
 
     def fn(pos, atomic_numbers, edge_index, edge_mask, total_charge):
         n = pos.shape[0]
@@ -54,6 +61,12 @@ def make_batchless_forward(apply_forward, params, n_cap: int, e_cap: int,
         }
         if has_charge:
             data[keys.TOTAL_CHARGE] = total_charge
+        if output_mode == "dipole":
+            out = apply_forward(params, data, False, False)
+            return (
+                out[keys.ATOMIC_CHARGES],
+                out[keys.DIPOLE][0] * pos_conv,  # charge * length units
+            )
         out = apply_forward(params, data, True, compute_virial)
         res = (
             out[keys.TOTAL_ENERGY][0] * energy_conv,
@@ -73,6 +86,7 @@ def export_model(
     max_edges: int = 8192,
     unit_style: str = "metal",
     compute_virial: bool = True,
+    output_mode: str = "energy",
 ) -> str:
     from jax import export as jax_export
 
@@ -116,6 +130,7 @@ def export_model(
     fn = make_batchless_forward(
         apply_forward, params, max_atoms, max_edges,
         e_conv, p_conv, compute_virial=compute_virial,
+        output_mode=output_mode,
     )
     args = (
         jax.ShapeDtypeStruct((max_atoms, 3), jnp.float32),
@@ -138,11 +153,16 @@ def export_model(
         "max_atoms": max_atoms,
         "max_edges": max_edges,
         "compute_virial": compute_virial,
+        "output_mode": output_mode,
         "model_name": mc["model_name"],
         "inputs": "pos[f32,N,3] atomic_numbers[i32,N] edge_index[i32,2,E] "
         "edge_mask[bool,E] total_charge[i32,1]",
-        "outputs": "energy[f32] forces[f32,N,3]"
-        + (" virial[f32,3,3]" if compute_virial else ""),
+        "outputs": (
+            "atomic_charges[f32,N] dipole[f32,3]"
+            if output_mode == "dipole"
+            else "energy[f32] forces[f32,N,3]"
+            + (" virial[f32,3,3]" if compute_virial else "")
+        ),
     }
     with open(os.path.join(output, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -168,5 +188,6 @@ def run_export_from_args(args) -> None:
         max_atoms=args.max_atoms,
         max_edges=args.max_edges,
         unit_style=args.unit_style,
+        output_mode=getattr(args, "mode", "energy"),
     )
     print(f"exported to {out}")
