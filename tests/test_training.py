@@ -214,8 +214,23 @@ def test_preemption_checkpoint(tmp_path):
         cfg.trainer.save_dir = {str(tmp_path)!r}
         cfg.trainer.log_steps = 100000
 
-        # SIGTERM ourselves shortly after training starts
-        threading.Timer(20.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+        # SIGTERM ourselves once the Trainer exists (the handler installs at
+        # Trainer construction; signaling on a fixed timer can beat slow
+        # imports under load and hit the default action instead)
+        import time
+        log = os.path.join({str(tmp_path)!r}, "loss.log")
+        def _arm():
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                try:
+                    if "parameters" in open(log).read():
+                        break
+                except OSError:
+                    pass
+                time.sleep(0.5)
+            time.sleep(5.0)
+            os.kill(os.getpid(), signal.SIGTERM)
+        threading.Thread(target=_arm, daemon=True).start()
         run_train(cfg)
     """)
     proc = subprocess.run(

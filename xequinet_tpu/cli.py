@@ -48,6 +48,14 @@ def main(argv=None) -> int:
     p_opt.add_argument("--freq", action="store_true", help="frequencies/thermo")
     p_opt.add_argument("--temp", type=float, default=298.15)
     p_opt.add_argument("--delta", "-d", default=None)
+    p_opt.add_argument("--constraints", "-con", default=None,
+                       help="geomeTRIC-style constraints file ($freeze xyz)")
+    p_opt.add_argument("--shermo", action="store_true",
+                       help="write a shermo input file alongside --freq")
+    p_opt.add_argument("--save-hessian", action="store_true",
+                       help="save the [3N,3N] Hessian (eV/A^2) to <input>_h.txt")
+    p_opt.add_argument("--no-opt", action="store_true",
+                       help="skip optimization (frequencies at the input geometry)")
 
     p_md = sub.add_parser("md", help="molecular dynamics")
     p_md.add_argument("--config", "-C", default="md.yaml")
@@ -59,7 +67,13 @@ def main(argv=None) -> int:
     p_export.add_argument("--max-edges", type=int, default=8192)
     p_export.add_argument("--unit-style", default="metal")
     p_export.add_argument("--mode", default="energy",
-                          choices=["energy", "dipole"])
+                          choices=["energy", "dipole", "gmx"])
+    p_export.add_argument("--periodic", action="store_true",
+                          help="energy mode: add cell + cell_offsets inputs")
+    p_export.add_argument("--net-charge", type=int, default=None,
+                          help="bake a fixed total charge into the export")
+    p_export.add_argument("--max-reps", type=int, default=1,
+                          help="gmx mode: static cell-image replication bound")
 
     args = parser.parse_args(argv)
 

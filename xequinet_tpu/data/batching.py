@@ -20,10 +20,6 @@ from .. import keys
 from .datapoint import Datapoint
 
 
-class BatchSpec(Tuple):
-    pass
-
-
 def bucket_capacity(n: int, margin: float = 1.0, minimum: int = 8) -> int:
     """Round up to the next bucket: {8, 16, 24, 32, 48, 64, 96, 128, ...}
     (powers of two and midpoints — bounds padding waste by ~25%)."""

@@ -30,8 +30,11 @@ class Calculator:
     """Jitted per-structure evaluator with on-device neighbor rebuild.
 
     For non-PBC systems the O(N^2) masked neighbor search runs inside the
-    same jit as the model; for PBC systems the integer offset grid is
-    fixed at setup from the cell (valid while the cell is fixed, i.e. NVT).
+    same jit as the model; for PBC systems the neighbor list (including
+    the image-offset replication count) is rebuilt on host from the cell
+    passed to each ``calculate`` call, so barostats that rescale the cell
+    (NPT) stay correct — only the padded edge capacity is fixed, and
+    overflow raises instead of silently dropping neighbors.
     """
 
     def __init__(
@@ -214,6 +217,84 @@ class Calculator:
         if keys.ATOMIC_ENERGIES in out:
             result[keys.ATOMIC_ENERGIES] = np.asarray(out[keys.ATOMIC_ENERGIES])[:n]
         return result
+
+    # ------------------------------------------------------------------
+    def hessian(
+        self,
+        atomic_numbers: np.ndarray,
+        positions: np.ndarray,
+        cell: Optional[np.ndarray] = None,
+        pbc: Optional[np.ndarray] = None,
+        charge: Optional[int] = None,
+        spin: Optional[int] = None,
+    ) -> np.ndarray:
+        """Analytic Hessian [3N, 3N] in model units via jax.hessian
+        (jacfwd∘jacrev) of the total energy — the reference reaches the
+        same object through a per-element grad-of-gradient loop
+        (/root/reference/xequinet/run/geometry.py:59-99).
+
+        The neighbor list is built on host at the given geometry and held
+        fixed through differentiation (valid: at fixed topology the edge
+        set is locally constant, and cutoff envelopes are smooth at the
+        boundary)."""
+        n = len(atomic_numbers)
+        n_cap, e_cap = self._capacities(n)
+        has_cell = cell is not None and pbc is not None and np.any(pbc)
+        static_batch = self._make_batch(
+            n_cap, e_cap, atomic_numbers, charge, spin,
+            cell if has_cell else None,
+        )
+        pos_pad = np.zeros((n_cap, 3), dtype=np.float32)
+        pos_pad[:n] = positions
+
+        if has_cell:
+            ei, offs = radius_graph_pbc_np(positions, cell, pbc, self.cutoff)
+        else:
+            from ..ops.radius_graph import radius_graph_np
+
+            ei, offs = radius_graph_np(positions, self.cutoff)
+        ne = ei.shape[1]
+        if ne > e_cap:
+            raise ValueError(f"edge overflow {ne} > {e_cap}")
+        edge_index = np.zeros((2, e_cap), dtype=np.int32)
+        edge_index[:, :ne] = ei
+        edge_mask = np.arange(e_cap) < ne
+        cell_offsets = np.zeros((e_cap, 3), dtype=np.float32)
+        cell_offsets[:ne] = offs
+
+        data_probe = dict(static_batch)
+        data_probe[keys.POSITIONS] = pos_pad
+        data_probe[keys.EDGE_INDEX] = edge_index
+        data_probe[keys.EDGE_MASK] = edge_mask
+        if has_cell:
+            data_probe[keys.CELL_OFFSETS] = cell_offsets
+        self._ensure_params(data_probe)
+
+        key = ("hess", n_cap, e_cap, has_cell,
+               charge is not None, spin is not None)
+        if key not in self._jitted:
+
+            def energy_of(pos, ei_, em_, co_, sb):
+                data = dict(sb)
+                data[keys.POSITIONS] = pos
+                data[keys.EDGE_INDEX] = ei_
+                data[keys.EDGE_MASK] = em_
+                if has_cell:
+                    data[keys.CELL_OFFSETS] = co_
+                out = self.apply_forward(self._params, data, False, False)
+                return out[keys.TOTAL_ENERGY][0]
+
+            self._jitted[key] = jax.jit(jax.hessian(energy_of))
+        H = self._jitted[key](
+            jnp.asarray(pos_pad),
+            jnp.asarray(edge_index),
+            jnp.asarray(edge_mask),
+            jnp.asarray(cell_offsets),
+            {k: jnp.asarray(v) for k, v in static_batch.items()},
+        )
+        H = np.asarray(jax.device_get(H))  # [n_cap, 3, n_cap, 3]
+        H = H[:n, :, :n, :].reshape(3 * n, 3 * n)
+        return 0.5 * (H + H.T)
 
 
 class XequiCalculator:

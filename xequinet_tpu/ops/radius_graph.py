@@ -194,3 +194,85 @@ def radius_graph_fixed(
     center = jnp.where(edge_mask, center, n - 1)
     neighbor = jnp.where(edge_mask, neighbor, n - 1)
     return jnp.stack([center, neighbor]).astype(jnp.int32), edge_mask, n_found
+
+
+def radius_graph_pbc_fixed(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    pbc: jnp.ndarray,
+    cutoff: float,
+    max_edges: int,
+    max_reps: int = 1,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jit-able PBC neighbor search with static capacities — the in-graph
+    builder for the self-contained deployment export (the reference builds
+    its GROMACS model's list in-graph too, interface/jit_model.py:189-195
+    via data/radius_graph.py:195-275).
+
+    The image grid is static: all integer offsets in [-max_reps, max_reps]^3.
+    Which images are *active* is decided dynamically from the cell (the
+    reference's ceil(cutoff/plane_distance) math) — an image whose offset
+    exceeds the required replication, or lies along a non-periodic axis, is
+    masked out.  ``n_edges_found > max_edges`` or a required replication
+    ``> max_reps`` signal capacity overflow; the second is returned as the
+    4th output (needed_reps [3]) so callers can validate.
+
+    Returns (edge_index [2, max_edges], edge_mask, cell_offsets
+    [max_edges, 3] float, n_edges_found).  Edges are emitted center-major
+    (sorted centers).
+    """
+    n = pos.shape[0]
+    # required replications per axis: cutoff / plane distance
+    vol = jnp.abs(jnp.linalg.det(cell))
+    crosses = jnp.stack(
+        [
+            jnp.cross(cell[1], cell[2]),
+            jnp.cross(cell[2], cell[0]),
+            jnp.cross(cell[0], cell[1]),
+        ]
+    )  # [3, 3]
+    plane_d = vol / jnp.linalg.norm(crosses, axis=-1)  # [3]
+    needed = jnp.where(
+        pbc, jnp.ceil(cutoff / plane_d).astype(jnp.int32), 0
+    )  # [3]
+
+    r = np.arange(-max_reps, max_reps + 1)
+    offsets = np.stack(
+        np.meshgrid(r, r, r, indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # [n_img, 3] static
+    offsets_j = jnp.asarray(offsets, dtype=jnp.int32)
+    img_active = jnp.all(jnp.abs(offsets_j) <= needed[None, :], axis=-1)  # [n_img]
+
+    shift_vecs = offsets_j.astype(pos.dtype) @ cell  # [n_img, 3]
+    # center-major layout: valid[center, neighbor, img]
+    d = (
+        pos[:, None, None, :]
+        - pos[None, :, None, :]
+        - shift_vecs[None, None, :, :]
+    )  # [N, N, n_img, 3]
+    dist2 = jnp.sum(d * d, axis=-1)
+    valid = (dist2 < cutoff * cutoff) & (dist2 > 1e-8)
+    valid = valid & img_active[None, None, :]
+    if node_mask is not None:
+        valid = valid & node_mask[:, None, None] & node_mask[None, :, None]
+    n_img = offsets.shape[0]
+    flat = valid.reshape(-1)
+    n_found = jnp.sum(flat.astype(jnp.int32))
+    order = jnp.argsort(~flat, stable=True)[:max_edges]
+    center = order // (n * n_img)
+    rem = order % (n * n_img)
+    neighbor = rem // n_img
+    img = rem % n_img
+    edge_mask = jnp.take(flat, order)
+    center = jnp.where(edge_mask, center, n - 1)
+    neighbor = jnp.where(edge_mask, neighbor, n - 1)
+    cell_offsets = jnp.where(
+        edge_mask[:, None], jnp.take(offsets_j, img, axis=0), 0
+    ).astype(pos.dtype)
+    return (
+        jnp.stack([center, neighbor]).astype(jnp.int32),
+        edge_mask,
+        cell_offsets,
+        n_found,
+    )

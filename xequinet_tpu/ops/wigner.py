@@ -148,7 +148,7 @@ def wigner_D(l: int, R_irrep: np.ndarray) -> np.ndarray:
     gens = so3_generators(l)
     M = sum(c * G for c, G in zip(coeffs, gens))
     D = expm(M)
-    if np.abs(np.asarray(D).imag).max() if np.iscomplexobj(D) else 0 > 1e-9:
+    if np.iscomplexobj(D) and np.abs(np.asarray(D).imag).max() > 1e-9:
         raise RuntimeError("wigner_D not real")
     return np.real(D)
 

@@ -74,14 +74,20 @@ class ForceField:
         self.e_conv = unit_conversion(u.get(keys.TOTAL_ENERGY, "eV"), "eV")
         self.l_conv = unit_conversion(u.get(keys.POSITIONS, "Angstrom"), "Angstrom")
         self.extra_calcs: List = []  # e.g. xTB delta baseline
+        # virial (eV) of the latest ML call; barostats reuse it instead of
+        # paying a second force evaluation per step
+        self.last_virial: Optional[np.ndarray] = None
 
     def __call__(self, pos_ang: np.ndarray):
         res = self.calc.calculate(
-            self.z, pos_ang / self.l_conv, cell=self.cell, pbc=self.pbc,
-            charge=self.charge, spin=self.spin,
+            self.z, pos_ang / self.l_conv,
+            cell=self.cell / self.l_conv if self.cell is not None else None,
+            pbc=self.pbc, charge=self.charge, spin=self.spin,
         )
         e = res[keys.TOTAL_ENERGY] * self.e_conv
         f = res[keys.FORCES] * self.e_conv / self.l_conv
+        vir = res.get(keys.VIRIAL)
+        self.last_virial = vir * self.e_conv if vir is not None else None
         for extra in self.extra_calcs:
             ee, ff = extra(pos_ang)
             e = e + ee
@@ -189,21 +195,22 @@ class BerendsenNPT(BerendsenNVT):
         self.taup = taup_fs / FS_PER_TIME_UNIT
         self.beta = compressibility_gpa  # 1/GPa (default: water, 4.57e-5/bar)
 
-    def step(self, s: MDState, rng) -> MDState:
-        s2 = super().step(s, rng)
-        # instantaneous pressure: (2 Ekin + virial trace) / (3 V), eV/A^3
-        res = self.ff.calc.calculate(
-            self.ff.z, s2.pos / self.ff.l_conv, cell=self.ff.cell,
-            pbc=self.ff.pbc, charge=self.ff.charge, spin=self.ff.spin,
-        )
-        vir = res.get(keys.VIRIAL)
+    def _virial(self) -> np.ndarray:
+        """Virial (eV) from the force call the Verlet step just made."""
+        vir = self.ff.last_virial
         if vir is None:
             raise RuntimeError("force field does not provide a virial; "
                                "load the Calculator with compute_virial=True")
+        return vir
+
+    def step(self, s: MDState, rng) -> MDState:
+        s2 = super().step(s, rng)
+        # instantaneous pressure: (2 Ekin + virial trace) / (3 V), eV/A^3
+        vir = self._virial()
         vol = abs(np.linalg.det(self.ff.cell))
         ev_a3_to_gpa = 160.21766208
         p_inst = (
-            (2 * s2.kinetic_energy() + np.trace(vir) * self.ff.e_conv)
+            (2 * s2.kinetic_energy() + np.trace(vir))
             / (3 * vol)
         ) * ev_a3_to_gpa
         scale = (
@@ -211,6 +218,75 @@ class BerendsenNPT(BerendsenNVT):
         ) ** (1.0 / 3.0)
         self.ff.cell = self.ff.cell * scale
         return MDState(s2.pos * scale, s2.vel, s2.masses, s2.step)
+
+
+class BerendsenNPTAniso(BerendsenNPT):
+    """Anisotropic (full-cell) Berendsen NPT: each step applies a symmetric
+    scaling matrix mu = I - (dt*beta/(3 taup)) (P_target I - P_inst) built
+    from the full pressure tensor, so the cell shape relaxes too (the
+    reference reaches this through ase.md.npt.NPT,
+    /root/reference/xequinet/run/dynamics.py:22-68)."""
+
+    def step(self, s: MDState, rng) -> MDState:
+        s2 = BerendsenNVT.step(self, s, rng)
+        vir = self._virial()
+        vol = abs(np.linalg.det(self.ff.cell))
+        ev_a3_to_gpa = 160.21766208
+        # kinetic part of the pressure tensor: sum_i m_i v_i v_i^T / V
+        kin = np.einsum("n,ni,nj->ij", s2.masses, s2.vel, s2.vel)
+        p_tensor = ((kin + 0.5 * (vir + vir.T)) / vol) * ev_a3_to_gpa  # GPa
+        mu = np.eye(3) - (self.dt * self.beta / (3.0 * self.taup)) * (
+            self.pressure * np.eye(3) - p_tensor
+        )
+        mu = 0.5 * (mu + mu.T)
+        # row-vector convention: lattice rows a_i' = a_i mu, positions r' = r mu
+        self.ff.cell = self.ff.cell @ mu
+        return MDState(s2.pos @ mu, s2.vel, s2.masses, s2.step)
+
+
+class FIREStage:
+    """FIRE structure relaxation as an MD-chain stage: the analogue of the
+    reference's 'any ase.optimize class as an ensemble' option
+    (/root/reference/xequinet/run/dynamics.py:22-68).  Velocities are
+    re-thermalized by the next stage; positions are minimized in place."""
+
+    def __init__(self, ff: ForceField, timestep_fs: float, fmax: float = 0.05,
+                 dt_max_fs: float = 2.0) -> None:
+        self.ff = ff
+        self.dt0 = timestep_fs / FS_PER_TIME_UNIT
+        self.dt_max = dt_max_fs / FS_PER_TIME_UNIT
+        self.fmax = fmax
+        self._v = None
+        self._dt = self.dt0
+        self._a = 0.1
+        self._n_up = 0
+        self.converged = False
+
+    def step(self, s: MDState, rng) -> MDState:
+        _, forces = self.ff(s.pos)
+        if np.sqrt((forces**2).sum(-1)).max() < self.fmax:
+            self.converged = True
+            return MDState(s.pos, np.zeros_like(s.vel), s.masses, s.step + 1)
+        if self._v is None:
+            self._v = np.zeros_like(s.pos)
+        v = self._v + self._dt * forces / s.masses[:, None]
+        power = float((v * forces).sum())
+        if power > 0:
+            fn = np.linalg.norm(forces)
+            vn = np.linalg.norm(v)
+            v = (1 - self._a) * v + self._a * (forces / max(fn, 1e-12)) * vn
+            self._n_up += 1
+            if self._n_up > 5:
+                self._dt = min(self._dt * 1.1, self.dt_max)
+                self._a *= 0.99
+        else:
+            v = np.zeros_like(v)
+            self._dt = self._dt * 0.5
+            self._a = 0.1
+            self._n_up = 0
+        self._v = v
+        pos = s.pos + self._dt * v
+        return MDState(pos, np.zeros_like(s.vel), s.masses, s.step + 1)
 
 
 ENSEMBLE_FACTORY = {
@@ -222,6 +298,10 @@ ENSEMBLE_FACTORY = {
     "andersen": Andersen,
     "nptberendsen": BerendsenNPT,
     "npt": BerendsenNPT,
+    "nptberendsenaniso": BerendsenNPTAniso,
+    "npt-aniso": BerendsenNPTAniso,
+    "fire": FIREStage,
+    "optimize": FIREStage,
 }
 
 
@@ -232,7 +312,11 @@ def run_md(config: MDConfig, logger=None) -> MDState:
     dp = frames[0]
     masses = ATOM_MASS[dp.atomic_numbers]
 
-    calc = Calculator(config.model_file)
+    stage_names = [
+        str(st.get("name", "nve")).lower() for st in (config.ensembles or [])
+    ]
+    needs_virial = any("npt" in n for n in stage_names)
+    calc = Calculator(config.model_file, compute_virial=needs_virial)
     ff = ForceField(
         calc, dp.atomic_numbers,
         cell=dp.cell if dp.has_cell else None,
@@ -266,7 +350,9 @@ def run_md(config: MDConfig, logger=None) -> MDState:
         logger.info(f"MD stage {name}: {steps} steps x {timestep} fs")
         for i in range(steps):
             state = integ.step(state, rng)
-            if (i + 1) % log_interval == 0 or i == steps - 1:
+            if (i + 1) % log_interval == 0 or i == steps - 1 or getattr(
+                integ, "converged", False
+            ):
                 e_pot, _ = ff(state.pos)
                 msg = (
                     f"step {state.step} t={state.step * timestep:.1f}fs "
@@ -275,15 +361,21 @@ def run_md(config: MDConfig, logger=None) -> MDState:
                 )
                 logger.info(msg)
                 if config.xyz_traj:
+                    # ff.cell is the live cell (barostats rescale it);
+                    # writing dp.cell would freeze the initial cell into
+                    # every NPT snapshot
                     snap = Datapoint(
                         dp.atomic_numbers, state.pos,
-                        cell=dp.cell if dp.has_cell else None,
+                        cell=ff.cell if ff.cell is not None else None,
                         pbc=dp.pbc if dp.has_cell else None,
                     )
                     write_xyz(
                         config.xyz_traj, [snap], energies=[e_pot],
                         append=(state.step > log_interval),
                     )
+            if getattr(integ, "converged", False):
+                logger.info(f"stage {name} converged at step {state.step}")
+                break
     return state
 
 

@@ -32,48 +32,122 @@ EV_J = 1.602176634e-19
 ANG_M = 1e-10
 
 
+def parse_constraints(path: str, n_atoms: int) -> np.ndarray:
+    """Parse the geomeTRIC-style constraints file the reference forwards to
+    geometric_solver.kernel (/root/reference/xequinet/main.py:115 →
+    run/geometry.py:196-207).  Supported natively: the ``$freeze`` section
+    with ``xyz`` / ``atoms`` atom selections (1-based indices, commas and
+    i-j ranges).  Returns a boolean frozen-atom mask [n_atoms].
+
+    Other constraint classes (distance/angle/dihedral, $set, $scan) need
+    the geomeTRIC engine and raise a clear error here.
+    """
+    frozen = np.zeros(n_atoms, dtype=bool)
+    section = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            if line.startswith("$"):
+                section = line[1:].lower()
+                continue
+            if section != "freeze":
+                raise NotImplementedError(
+                    f"constraint section '${section}' requires the "
+                    "geomeTRIC engine (install geometric + pyscf); the "
+                    "built-in optimizer supports $freeze xyz/atoms only"
+                )
+            parts = line.split()
+            kind = parts[0].lower()
+            if kind not in ("xyz", "atoms"):
+                raise NotImplementedError(
+                    f"freeze type '{kind}' requires the geomeTRIC engine; "
+                    "built-in support is whole-atom freezing (xyz/atoms)"
+                )
+            for token in "".join(parts[1:]).split(","):
+                if "-" in token:
+                    a, b = token.split("-")
+                    frozen[int(a) - 1 : int(b)] = True
+                else:
+                    frozen[int(token) - 1] = True
+    return frozen
+
+
 def optimize(
     ff: ForceField,
     pos0: np.ndarray,
     max_steps: int = 200,
     fmax: float = 0.05,
+    frozen: Optional[np.ndarray] = None,
     logger=None,
 ) -> Tuple[np.ndarray, float, bool]:
     """L-BFGS-B over flattened coordinates; converges when max |F| < fmax
-    (eV/A)."""
+    (eV/A) over the free atoms.  ``frozen`` pins atoms via coordinate
+    bounds (the projected-gradient constraint of L-BFGS-B)."""
     from scipy.optimize import minimize
 
     logger = logger or ZeroLogger()
     state = {"n": 0, "converged": False}
+    free = (
+        np.ones(len(pos0), dtype=bool) if frozen is None else ~np.asarray(frozen)
+    )
+    free3 = np.repeat(free, 3)
 
     def fun(x):
         e, f = ff(x.reshape(-1, 3))
         state["n"] += 1
-        state["fmax"] = float(np.abs(f).max())
-        return float(e), -f.reshape(-1).astype(np.float64)
+        state["fmax"] = float(np.abs(f[free]).max()) if free.any() else 0.0
+        g = -f.reshape(-1).astype(np.float64)
+        g[~free3] = 0.0
+        return float(e), g
 
     def cb(xk):
         # scipy stops cleanly when the callback raises StopIteration
         if state.get("fmax", np.inf) < fmax:
             raise StopIteration
 
+    x0 = pos0.reshape(-1).astype(np.float64)
+    bounds = None
+    if frozen is not None and frozen.any():
+        bounds = [
+            (xi, xi) if not fi else (None, None) for xi, fi in zip(x0, free3)
+        ]
     res = minimize(
         fun,
-        pos0.reshape(-1).astype(np.float64),
+        x0,
         jac=True,
         method="L-BFGS-B",
         callback=cb,
+        bounds=bounds,
         options={"maxiter": max_steps, "gtol": fmax * 0.01},
     )
     pos = res.x.reshape(-1, 3)
     e, f = ff(pos)
-    converged = bool(np.abs(f).max() < fmax)
+    converged = bool(np.abs(f[free]).max() < fmax) if free.any() else True
     logger.info(
         f"optimization {'converged' if converged else 'NOT converged'}: "
-        f"E={e:.6f} eV, max|F|={np.abs(f).max():.4f} eV/A, "
+        f"E={e:.6f} eV, max|F|={np.abs(f[free]).max() if free.any() else 0.0:.4f} eV/A, "
         f"{state['n']} evaluations"
     )
     return pos, e, converged
+
+
+def analytic_hessian(ff: ForceField, pos: np.ndarray) -> np.ndarray:
+    """Analytic [3N, 3N] Hessian in eV/A^2 through the Calculator's
+    jax.hessian path (reference geometry.py:59-99 does this with a
+    grad-of-gradient loop).  Valid for pure-ML force fields; delta models
+    (xTB extra terms) need the numerical fallback."""
+    if ff.extra_calcs:
+        raise ValueError("analytic Hessian undefined with extra (xTB) terms; "
+                         "use numerical_hessian")
+    H = ff.calc.hessian(
+        ff.z, pos / ff.l_conv,
+        cell=ff.cell / ff.l_conv if ff.cell is not None else None,
+        pbc=ff.pbc, charge=ff.charge, spin=ff.spin,
+    )
+    # model units -> eV/A^2
+    return H * ff.e_conv / (ff.l_conv**2)
 
 
 def numerical_hessian(ff: ForceField, pos: np.ndarray, eps: float = 5e-3) -> np.ndarray:
@@ -143,6 +217,34 @@ def thermochemistry(
     }
 
 
+def to_shermo(
+    path: str,
+    atomic_numbers: np.ndarray,
+    pos_ang: np.ndarray,
+    energy_ev: float,
+    wavenums_cm1: np.ndarray,
+) -> None:
+    """Shermo input file (reference run/geometry.py:135-153): electronic
+    energy in Hartree, wavenumbers in cm^-1 (imaginary as negative),
+    element/mass/coordinate table in Angstrom, ground electronic level."""
+    from ..utils.qc import ELEMENTS_LIST
+
+    e_hartree = energy_ev * unit_conversion("eV", "Hartree")
+    masses = ATOM_MASS[atomic_numbers]
+    with open(path, "w") as f:
+        f.write(f"*E\n    {e_hartree:10.6f}\n")
+        f.write("*wavenum\n")
+        for w in np.asarray(wavenums_cm1):
+            f.write(f"    {float(w):8.4f}\n")
+        f.write("*atoms\n")
+        for z, m, c in zip(atomic_numbers, masses, pos_ang):
+            f.write(
+                f"{ELEMENTS_LIST[int(z)]: <2} {m:10.6f} "
+                f"{c[0]:10.6f} {c[1]:10.6f} {c[2]:10.6f}\n"
+            )
+        f.write("*elevel\n    0.000000   1\n")
+
+
 def run_opt(
     ckpt_file: str,
     input_file: str,
@@ -152,6 +254,10 @@ def run_opt(
     freq: bool = False,
     temperature: float = 298.15,
     delta_method: Optional[str] = None,
+    constraints: Optional[str] = None,
+    shermo: bool = False,
+    save_hessian: bool = False,
+    no_opt: bool = False,
     logger=None,
 ) -> List[Dict]:
     logger = logger or ZeroLogger()
@@ -159,6 +265,7 @@ def run_opt(
     frames = read_xyz(input_file)
     results = []
     opt_frames, opt_energies = [], []
+    stem = input_file.rsplit(".", 1)[0]
     for i, dp in enumerate(frames):
         ff = ForceField(
             calc, dp.atomic_numbers,
@@ -178,12 +285,26 @@ def run_opt(
                 return res.get("energy") * h2ev, -res.get("gradient") * h2ev / b2a
 
             ff.extra_calcs.append(xtb_extra)
-        pos, e, converged = optimize(ff, dp.pos, max_steps, fmax, logger)
+        frozen = (
+            parse_constraints(constraints, len(dp.atomic_numbers))
+            if constraints
+            else None
+        )
+        if no_opt:
+            pos = dp.pos.copy()
+            e, _ = ff(pos)
+            converged = True
+        else:
+            pos, e, converged = optimize(
+                ff, dp.pos, max_steps, fmax, frozen=frozen, logger=logger
+            )
         entry = {"energy": e, "converged": converged, "positions": pos}
         if freq:
             masses = ATOM_MASS[dp.atomic_numbers]
-            # analytic Hessian when pure-ML; numerical for delta models
-            H = numerical_hessian(ff, pos)
+            # analytic (jax.hessian) for pure-ML; numerical central
+            # differences when an xTB delta term is attached (reference
+            # geometry.py:59-133 makes the same split)
+            H = numerical_hessian(ff, pos) if ff.extra_calcs else analytic_hessian(ff, pos)
             freqs, _ = harmonic_analysis(H, masses)
             thermo = thermochemistry(freqs, e, masses, temperature)
             entry["frequencies_cm1"] = freqs
@@ -195,6 +316,13 @@ def run_opt(
             logger.info(
                 "thermo: " + ", ".join(f"{k}={v}" for k, v in thermo.items())
             )
+            suffix = "" if len(frames) == 1 else str(i)
+            if shermo:
+                to_shermo(f"{stem}_freq{suffix}.shm", dp.atomic_numbers, pos,
+                          e, freqs)
+                logger.info(f"shermo input written to {stem}_freq{suffix}.shm")
+            if save_hessian:
+                np.savetxt(f"{stem}_h{suffix}.txt", H)
         results.append(entry)
         opt_frames.append(
             Datapoint(dp.atomic_numbers, pos,
@@ -218,4 +346,8 @@ def run_opt_from_args(args) -> None:
         freq=getattr(args, "freq", False),
         temperature=getattr(args, "temp", 298.15),
         delta_method=getattr(args, "delta", None),
+        constraints=getattr(args, "constraints", None),
+        shermo=getattr(args, "shermo", False),
+        save_hessian=getattr(args, "save_hessian", False),
+        no_opt=getattr(args, "no_opt", False),
     )

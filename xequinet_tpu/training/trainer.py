@@ -230,6 +230,7 @@ class Trainer:
         logger=None,
         device_put: Callable[[Dict[str, np.ndarray]], DataDict] = None,
         reduce_metrics: Callable = None,
+        mesh=None,
     ) -> None:
         tc = config.trainer
         self.config = config
@@ -238,10 +239,21 @@ class Trainer:
         self.train_loader = train_loader
         self.valid_loader = valid_loader
         self.apply_forward = apply_forward
-        self.device_put = device_put or (
-            lambda b: {k: jnp.asarray(v) for k, v in b.items()}
-        )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if device_put is not None:
+            self.device_put = device_put
+        elif self.mesh is not None:
+            from ..parallel.data_parallel import device_put_sharded_batch
+
+            self.device_put = lambda b: device_put_sharded_batch(b, self.mesh)
+        else:
+            self.device_put = lambda b: {
+                k: jnp.asarray(v) for k, v in b.items()
+            }
         self.reduce_metrics = reduce_metrics
+        # multi-host: only process 0 writes checkpoints (the rank-0 guard
+        # of the reference's DDP trainer)
+        self.is_main_process = jax.process_index() == 0
 
         targets = list(config.data.targets)
         self.compute_forces = keys.FORCES in targets
@@ -289,22 +301,62 @@ class Trainer:
         self.epoch = 0
         self.lr_scale = 1.0
         self.step_timer = StepTimer()
+        # preemption bookkeeping: while the jitted train step is live the
+        # self.params/opt_state/ema_params handles are donated (deleted on
+        # device), so a signal handler must NOT serialize them directly —
+        # it sets a flag and the step loop saves from the live state tuple.
+        self._preempt_signal: Optional[int] = None
+        self._in_train_loop = False
         # best-k max-heap of (-loss, file) (reference utils/trainer.py:27-35)
         self.best_heap: List[Tuple[float, str]] = []
 
-        self.train_step = make_train_step(
-            apply_forward,
-            self.lossfn,
-            self.optimizer,
-            self.compute_forces,
-            self.compute_virial,
-            tc.grad_clip,
-            tc.ema_decay,
-            self.metric,
-        )
-        self.eval_step = make_eval_step(
-            apply_forward, self.compute_forces, self.compute_virial, self.metric
-        )
+        if self.mesh is not None:
+            # data-parallel production path: shard_map over the dp axis,
+            # grad pmean / metric psum (replacing the reference's DDP wrap,
+            # run/train.py:167-190)
+            from ..parallel.data_parallel import (
+                make_dp_eval_step,
+                make_dp_train_step,
+                replicate,
+            )
+
+            core = make_step_core(
+                apply_forward,
+                self.lossfn,
+                self.optimizer,
+                self.compute_forces,
+                self.compute_virial,
+                tc.grad_clip,
+                tc.ema_decay,
+                self.metric,
+            )
+            self.train_step = make_dp_train_step(core, self.mesh)
+
+            def eval_core(p, batch):
+                out = apply_forward(
+                    p, batch, self.compute_forces, self.compute_virial
+                )
+                return self.metric(out, batch)
+
+            self.eval_step = make_dp_eval_step(eval_core, self.mesh)
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+            if self.ema_params is not None:
+                self.ema_params = replicate(self.ema_params, self.mesh)
+        else:
+            self.train_step = make_train_step(
+                apply_forward,
+                self.lossfn,
+                self.optimizer,
+                self.compute_forces,
+                self.compute_virial,
+                tc.grad_clip,
+                tc.ema_decay,
+                self.metric,
+            )
+            self.eval_step = make_eval_step(
+                apply_forward, self.compute_forces, self.compute_virial, self.metric
+            )
 
         os.makedirs(tc.save_dir, exist_ok=True)
         # install early: preemption can arrive during the first compile
@@ -334,22 +386,31 @@ class Trainer:
         acc = MetricAccumulator()
         state = (self.params, self.opt_state, self.ema_params)
         last_loss = float("nan")
-        for step, raw in enumerate(self.train_loader):
-            batch = self.device_put(raw)
-            self.step_timer.start()
-            state, loss, metrics = self.train_step(
-                state, batch, jnp.asarray(self.lr_scale, dtype=jnp.float32)
-            )
-            self.step_timer.stop()
-            if (step + 1) % self.tc.log_steps == 0:
-                acc.update(jax.device_get(metrics))
-                last_loss = float(jax.device_get(loss))
-                table = _fmt_metrics(acc.compute())
-                self._log(
-                    f"epoch {self.epoch} step {step + 1} "
-                    f"loss {last_loss:.6f}\n{table}"
+        self._in_train_loop = True
+        try:
+            for step, raw in enumerate(self.train_loader):
+                batch = self.device_put(raw)
+                self.step_timer.start()
+                state, loss, metrics = self.train_step(
+                    state, batch, jnp.asarray(self.lr_scale, dtype=jnp.float32)
                 )
-                acc.reset()
+                self.step_timer.stop()
+                if self._preempt_signal is not None:
+                    # state is the live (undonated) output of the last step;
+                    # sync it back before writing the preemption checkpoint
+                    self.params, self.opt_state, self.ema_params = state
+                    self._save_preemption_and_exit(self._preempt_signal)
+                if (step + 1) % self.tc.log_steps == 0:
+                    acc.update(jax.device_get(metrics))
+                    last_loss = float(jax.device_get(loss))
+                    table = _fmt_metrics(acc.compute())
+                    self._log(
+                        f"epoch {self.epoch} step {step + 1} "
+                        f"loss {last_loss:.6f}\n{table}"
+                    )
+                    acc.reset()
+        finally:
+            self._in_train_loop = False
         self.params, self.opt_state, self.ema_params = state
         return last_loss
 
@@ -384,6 +445,8 @@ class Trainer:
         }
 
     def save_best_k(self, val_mae: float) -> None:
+        if not self.is_main_process:
+            return
         tc = self.tc
         fname = os.path.join(
             tc.save_dir, f"{tc.run_name}_ep{self.epoch}_{val_mae:.6f}.ckpt"
@@ -407,6 +470,8 @@ class Trainer:
         )
 
     def save_last(self, val_mae: float) -> None:
+        if not self.is_main_process:
+            return
         save_checkpoint(
             os.path.join(self.tc.save_dir, f"{self.tc.run_name}_last.ckpt"),
             self.params,
@@ -431,22 +496,46 @@ class Trainer:
         self.best_heap = [tuple(x) for x in blob.get("loss2file", [])]
         if self.plateau and blob.get("plateau"):
             self.plateau.load_state_dict(blob["plateau"])
+        for prop, st in (blob.get("stoppings") or {}).items():
+            es = self.stopper.stoppings.get(prop)
+            if es is not None:
+                es.best = st.get("best", es.best)
+                es.num_bad = st.get("num_bad", es.num_bad)
         self._log(f"resumed from {path} at epoch {self.epoch}")
 
     # ------------------------------------------------------------------
+    def _save_preemption_and_exit(self, signum: int) -> None:
+        self._log(
+            f"signal {signum}: writing preemption checkpoint and exiting"
+        )
+        try:
+            self.save_last(float("inf"))
+        except Exception as exc:  # report, never swallow silently
+            self._log(f"preemption checkpoint FAILED: {exc!r}")
+            import traceback
+
+            traceback.print_exc()
+        raise SystemExit(128 + signum)
+
     def _install_preemption_handler(self) -> None:
         """Preemption safety on TPU pods: SIGTERM/SIGINT save a resumable
         last-checkpoint before exiting (the reference has no preemption
-        story, SURVEY.md §5.3)."""
+        story, SURVEY.md §5.3).
+
+        Inside the step loop the trainer's state handles point at donated
+        (deleted) device buffers, so the handler only sets a flag there and
+        the loop saves from the live state tuple at the next step boundary.
+        Outside the loop (compile window, validation, between epochs) the
+        handles are live and the handler saves immediately.  A second
+        signal exits without saving (escape hatch for a hung save)."""
 
         def _handler(signum, frame):
-            self._log(
-                f"signal {signum}: writing preemption checkpoint and exiting"
-            )
-            try:
-                self.save_last(float("inf"))
-            finally:
+            if self._preempt_signal is not None:
                 raise SystemExit(128 + signum)
+            self._preempt_signal = signum
+            if not self._in_train_loop:
+                self._save_preemption_and_exit(signum)
+            # else: defer to the step boundary in train1epoch
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
