@@ -10,7 +10,7 @@ one static shape per loader (SURVEY.md §7.0).
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -83,6 +83,7 @@ class DataLoader:
         seed: int = 0,
         dtype=np.float32,
         drop_oversized: bool = True,
+        process_shard: Optional[Tuple[int, int]] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -93,6 +94,10 @@ class DataLoader:
         self.dtype = dtype
         self.drop_oversized = drop_oversized
         self.n_dropped = 0
+        # (rank, world): every host iterates a disjoint strided slice of
+        # the same seeded permutation — the DistributedSampler equivalent
+        # (reference run/train.py:100-129)
+        self.process_shard = process_shard
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -102,6 +107,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.process_shard is not None:
+            rank, world = self.process_shard
+            order = order[rank::world]
         cap_n, cap_e, cap_g = (
             self.caps["n_nodes"],
             self.caps["n_edges"],
@@ -137,7 +145,10 @@ class DataLoader:
 
     def __len__(self) -> int:
         # upper-bound estimate (exact count depends on packing)
-        return max(1, math.ceil(len(self.dataset) / self.batch_size))
+        n = len(self.dataset)
+        if self.process_shard is not None:
+            n = math.ceil(n / self.process_shard[1])
+        return max(1, math.ceil(n / self.batch_size))
 
 
 def calculate_stats(

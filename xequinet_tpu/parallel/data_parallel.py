@@ -90,9 +90,68 @@ def make_dp_eval_step(eval_core: Callable, mesh: Mesh, axis: str = DP_AXIS):
 
 
 def device_put_sharded_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = DP_AXIS):
-    """Place a stacked batch so its leading axis is sharded over the mesh."""
+    """Place a stacked batch so its leading axis is sharded over the mesh.
+
+    Single-host: one device_put per array.  Multi-host (jax.distributed
+    initialized, mesh spanning processes): each process passes only its
+    *local* slice of the leading axis — the host-sharded input pipeline —
+    and the global array is assembled without any cross-host transfer
+    (``jax.make_array_from_process_local_data``)."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def empty_batch_like(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """A fully-masked batch with the same static shapes: all node/edge/
+    graph masks False, counts zero, values zero.  Used to pad the last
+    replica group so every dp step sees a full [D, ...] stack (losses and
+    metric sums on it are exactly zero; its gradient contribution is zero,
+    which slightly down-weights the final partial step — the same order of
+    distortion as DDP's sample-repeating DistributedSampler padding)."""
+    return {k: np.zeros_like(v) for k, v in batch.items()}
+
+
+class ReplicaBatcher:
+    """Group a padded-micro-batch loader into stacked [D, ...] dp batches.
+
+    The DistributedSampler+DataLoader pair of the reference
+    (run/train.py:100-129) re-designed for SPMD: the underlying loader
+    yields identically-shaped padded micro-batches; every ``n_replicas``
+    of them are stacked on a leading device axis.  A final partial group
+    is padded with fully-masked empty batches (count-weighted metrics stay
+    exact; see empty_batch_like for the gradient note).
+    """
+
+    def __init__(self, loader, n_replicas: int) -> None:
+        self.loader = loader
+        self.n_replicas = n_replicas
+        self.caps = loader.caps
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        group: List[Dict[str, np.ndarray]] = []
+        for b in self.loader:
+            group.append(b)
+            if len(group) == self.n_replicas:
+                yield stack_device_batches(group)
+                group = []
+        if group:
+            empty = empty_batch_like(group[0])
+            while len(group) < self.n_replicas:
+                group.append(empty)
+            yield stack_device_batches(group)
+
+    def __len__(self) -> int:
+        import math
+
+        return max(1, math.ceil(len(self.loader) / self.n_replicas))
 
 
 def replicate(tree, mesh: Mesh):

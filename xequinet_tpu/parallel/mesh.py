@@ -11,6 +11,7 @@ topology (reference run/train.py:74-77): a ``jax.sharding.Mesh`` over all
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -19,6 +20,34 @@ from jax.sharding import Mesh
 
 DP_AXIS = "dp"
 GP_AXIS = "gp"
+
+_distributed_initialized = False
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize the multi-process JAX runtime when launched as one
+    process per host (the torchrun/dist.init_process_group analogue,
+    reference run/train.py:74-77).
+
+    Triggered by ``JAX_COORDINATOR_ADDRESS`` (+ optional
+    ``JAX_PROCESS_ID`` / ``JAX_NUM_PROCESSES``) in the environment; on
+    TPU pods the launcher usually provides everything and a bare
+    ``jax.distributed.initialize()`` suffices.  Idempotent; returns True
+    when running multi-process."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return jax.process_count() > 1
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return False
+    kwargs = {"coordinator_address": addr}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "JAX_PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return jax.process_count() > 1
 
 
 def make_mesh(

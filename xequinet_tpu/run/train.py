@@ -1,9 +1,17 @@
 """`xeq train`: the end-to-end training driver.
 
 TPU-native counterpart of /root/reference/xequinet/run/train.py: config ->
-units -> dataset+transforms -> stats -> model -> Trainer.  Data parallelism
-uses all local devices via the mesh helpers (replacing torchrun/DDP,
-SURVEY.md §2.3); single-device runs skip the mesh entirely.
+units -> dataset+transforms -> stats -> model -> Trainer.
+
+Parallelism: with more than one device (and ``trainer.dp_devices`` != 1)
+the driver builds a dp mesh over the devices, wraps the loaders in a
+ReplicaBatcher (per-device micro-batch stacking) and hands the mesh to
+the Trainer, whose train/eval steps then run under shard_map with grad
+pmean / metric psum — the torchrun+DDP+DistributedSampler path of the
+reference (run/train.py:74-190) as one SPMD program.  Multi-host runs
+additionally initialize the JAX distributed runtime
+(``JAX_COORDINATOR_ADDRESS``) and give each host a disjoint shard of the
+dataset; only process 0 writes checkpoints/logs.
 """
 
 from __future__ import annotations
@@ -51,8 +59,22 @@ def build_datasets(config: XequiConfig):
     return mk("train"), mk("valid"), mk("test")
 
 
+def _resolve_mesh(tc):
+    """Mesh over the dp devices, or None for single-device training.
+    ``dp_devices``: 0 = all local devices, 1 = force single-device,
+    N = first N devices."""
+    from ..parallel.mesh import make_mesh, maybe_init_distributed
+
+    maybe_init_distributed()
+    n = tc.dp_devices if tc.dp_devices > 0 else jax.device_count()
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
 def run_train(config: XequiConfig, logger=None) -> Trainer:
     tc, dc, mc = config.trainer, config.data, config.model
+    mesh = _resolve_mesh(tc)
     logger = logger or ZeroLogger(os.path.join(tc.save_dir, tc.log_file))
     if tc.seed is not None:
         np.random.seed(tc.seed)
@@ -63,24 +85,50 @@ def run_train(config: XequiConfig, logger=None) -> Trainer:
     train_set, valid_set, _ = build_datasets(config)
     logger.info(f"datasets: train={len(train_set)} valid={len(valid_set)}")
 
+    n_replicas = mesh.size if mesh is not None else 1
+    n_local = (
+        n_replicas // jax.process_count() if mesh is not None else 1
+    )
+    # global batch divided over replicas (reference run/train.py:100-129)
+    local_bs = max(1, dc.batch_size // n_replicas)
+    local_valid_bs = max(1, dc.valid_batch_size // n_replicas)
+    shard = (
+        (jax.process_index(), jax.process_count())
+        if jax.process_count() > 1
+        else None
+    )
+
     caps = None
     if dc.max_nodes and dc.max_edges:
         caps = {
             "n_nodes": dc.max_nodes,
             "n_edges": dc.max_edges,
-            "n_graphs": dc.batch_size + 1,
+            "n_graphs": local_bs + 1,
         }
     train_loader = DataLoader(
         train_set,
-        dc.batch_size,
+        local_bs,
         capacities=caps,
         shuffle=True,
         seed=tc.seed or 0,
+        process_shard=shard,
     )
     valid_loader = DataLoader(
-        valid_set, dc.valid_batch_size, capacities=train_loader.caps
+        valid_set, local_valid_bs, capacities=train_loader.caps,
+        process_shard=shard,
     )
     logger.info(f"padded capacities: {train_loader.caps}")
+    if mesh is not None:
+        from ..parallel.data_parallel import ReplicaBatcher
+
+        logger.info(
+            f"data parallel: {n_replicas} devices over "
+            f"{jax.process_count()} process(es), "
+            f"local batch {local_bs} (global {dc.batch_size})"
+        )
+        # each process stacks one micro-batch per *local* device
+        train_loader = ReplicaBatcher(train_loader, n_local)
+        valid_loader = ReplicaBatcher(valid_loader, n_local)
 
     # node shift/scale from training statistics (reference run/train.py:136-150)
     model_kwargs = dict(mc.model_kwargs)
@@ -100,6 +148,8 @@ def run_train(config: XequiConfig, logger=None) -> Trainer:
 
     module, extra, _cutoff = resolve_model(mc.model_name, **model_kwargs)
     sample = next(iter(train_loader))
+    if mesh is not None:  # stacked [D, ...]: init from one micro-batch
+        sample = {k: v[0] for k, v in sample.items()}
     params = init_params(module, sample, seed=tc.seed or 0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(f"model {mc.model_name}: {n_params / 1e6:.3f}M parameters")
@@ -113,6 +163,7 @@ def run_train(config: XequiConfig, logger=None) -> Trainer:
         valid_loader=valid_loader,
         steps_per_epoch=len(train_loader),
         logger=logger,
+        mesh=mesh,
     )
     trainer.start()
     return trainer

@@ -7,6 +7,7 @@ loggers (the rank-0 muting of reference __init__.py:5-12).
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from typing import Optional
 
@@ -40,6 +41,9 @@ def ZeroLogger(
     sh.setFormatter(fmt)
     logger.addHandler(sh)
     if log_file:
+        parent = os.path.dirname(log_file)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         fh = logging.FileHandler(log_file)
         fh.setFormatter(fmt)
         logger.addHandler(fh)
