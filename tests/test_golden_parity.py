@@ -1,0 +1,159 @@
+"""Golden parity anchors for the o3 stack (VERDICT round-1 item 3).
+
+The accuracy bar (BASELINE.md) is convention parity with PyTorch+e3nn
+0.5.1 (reference nn/xpainn.py:70-75, nn/tp.py:84-98).  e3nn itself
+cannot be executed here (zero egress, no installs), so these tests
+anchor every convention to an INDEPENDENT exact derivation instead:
+
+* real spherical harmonics are checked against sympy's complex Y_l^m
+  (Condon-Shortley) converted by the standard real-basis formula —
+  a closed-form path entirely separate from our w3j recursion
+  (ops/spherical.py).  e3nn's convention is pinned by:
+  m-order (-l..l), the (y,z,x) axis convention for l=1 (so callers
+  permute geometric [x,y,z] -> [y,z,x]), and 'component' normalization
+  (each degree scaled by sqrt(2l+1) from orthonormal).
+* Wigner-3j tables are checked against the Gaunt product identity using
+  those sympy-anchored harmonics (pinning the sign gauge), plus the
+  e3nn normalization (unit Frobenius norm, Schur columns 1/(2l3+1)).
+
+A convention error anywhere in the stack (SH phase/ordering, w3j gauge,
+gate/TP normalization) would have to survive two independent
+derivations to pass these.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import sympy
+from sympy import I, Ynm, pi, sqrt, symbols
+
+from xequinet_tpu.ops.irreps import Irreps
+from xequinet_tpu.ops.spherical import spherical_harmonics
+from xequinet_tpu.ops.wigner import wigner_3j
+
+theta_s, phi_s = symbols("theta phi", real=True)
+
+
+def _sympy_real_sh(l: int, theta: float, phi: float) -> np.ndarray:
+    """Component-normalized real SH [2l+1] in m = -l..l order, from
+    sympy's complex Ynm via the standard real-basis formula:
+      m = 0 : Y_l^0
+      m > 0 : sqrt(2) (-1)^m Re Y_l^m
+      m < 0 : sqrt(2) (-1)^m Im Y_l^|m|
+    scaled by sqrt(4 pi) (orthonormal -> component)."""
+    out = []
+    for m in range(-l, l + 1):
+        am = abs(m)
+        y = Ynm(l, am, theta_s, phi_s).expand(func=True)
+        if m == 0:
+            expr = y
+        elif m > 0:
+            expr = sqrt(2) * (-1) ** m * (y + sympy.conjugate(y)) / 2
+        else:
+            expr = sqrt(2) * (-1) ** am * (y - sympy.conjugate(y)) / (2 * I)
+        expr = sympy.simplify(expr * sqrt(4 * pi))
+        val = complex(expr.evalf(subs={theta_s: theta, phi_s: phi}))
+        assert abs(val.imag) < 1e-12
+        out.append(val.real)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("l", [1, 2, 3, 4])
+def test_sh_matches_sympy_closed_form(l, rng):
+    """ops/spherical.py harmonics == exact textbook real harmonics with
+    the e3nn axis convention (geometric x,y,z -> irrep basis y,z,x)."""
+    ir = Irreps(f"1x{l}{'e' if (-1) ** l == 1 else 'o'}")
+    for _ in range(4):
+        v = rng.normal(size=3)
+        v /= np.linalg.norm(v)
+        x, y, z = v
+        theta = math.acos(np.clip(z, -1, 1))
+        phi = math.atan2(y, x)
+        want = _sympy_real_sh(l, theta, phi)
+        got = np.asarray(
+            spherical_harmonics(ir, np.asarray(v)[[1, 2, 0]], normalize=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sh_component_normalization_scale(rng):
+    """'component' normalization: mean square over the sphere is 1 for
+    every component (so the degree block has norm sqrt(2l+1))."""
+    n = 20000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    for l in (1, 2, 3):
+        ir = Irreps(f"1x{l}{'e' if (-1) ** l == 1 else 'o'}")
+        y = np.asarray(spherical_harmonics(ir, v[:, [1, 2, 0]], normalize=True))
+        np.testing.assert_allclose(
+            (y**2).mean(axis=0), np.ones(2 * l + 1), rtol=5e-2
+        )
+
+
+@pytest.mark.parametrize("l1,l2,l3", [(1, 1, 2), (2, 1, 1), (2, 2, 2),
+                                      (2, 2, 4), (3, 1, 2), (2, 1, 3)])
+def test_wigner_3j_gaunt_identity(l1, l2, l3, rng):
+    """Y_l3(u) is proportional to w3j-contracted Y_l1(u) x Y_l2(u) for a
+    single u-independent constant: ties the w3j sign gauge to the
+    sympy-anchored harmonics for every (l1,l2,l3) triple."""
+    w = wigner_3j(l1, l2, l3)
+    iri = lambda l: Irreps(f"1x{l}{'e' if (-1) ** l == 1 else 'o'}")
+    us = rng.normal(size=(32, 3))
+    us /= np.linalg.norm(us, axis=1, keepdims=True)
+    uirr = us[:, [1, 2, 0]]
+    y1 = np.asarray(spherical_harmonics(iri(l1), uirr, normalize=True))
+    y2 = np.asarray(spherical_harmonics(iri(l2), uirr, normalize=True))
+    y3 = np.asarray(spherical_harmonics(iri(l3), uirr, normalize=True))
+    prod = np.einsum("na,nb,abm->nm", y1, y2, w)
+    # one global proportionality constant across all samples/components
+    num = (prod * y3).sum()
+    den = (y3 * y3).sum()
+    c = num / den
+    assert abs(c) > 1e-3, "degenerate Gaunt constant"
+    np.testing.assert_allclose(prod, c * y3, rtol=1e-4, atol=1e-5 * abs(c))
+
+
+@pytest.mark.parametrize("l1,l2,l3", [(1, 1, 2), (2, 2, 2), (2, 1, 3),
+                                      (3, 3, 2)])
+def test_wigner_3j_e3nn_normalization(l1, l2, l3):
+    """e3nn gauge: unit Frobenius norm; by Schur the (m1,m2)-contraction
+    is then delta(m3,m3')/(2 l3 + 1)."""
+    w = wigner_3j(l1, l2, l3)
+    np.testing.assert_allclose((w**2).sum(), 1.0, rtol=1e-10)
+    gram = np.einsum("abm,abn->mn", w, w)
+    np.testing.assert_allclose(
+        gram, np.eye(2 * l3 + 1) / (2 * l3 + 1), atol=1e-10
+    )
+
+
+def test_embedding_sh_permutation_end_to_end(rng):
+    """XEmbedding applies [x,y,z] -> [y,z,x] before the harmonics
+    (reference nn/xpainn.py:70-74): the l=1 block of SPHERICAL_HARMONICS
+    for an edge along geometric +x must be sqrt(3) * (0, 0, 1)."""
+    import jax.numpy as jnp
+
+    from xequinet_tpu import keys
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.models.model import resolve_model
+    from xequinet_tpu.models.properties import compute_edge_data
+
+    z = np.array([1, 1], dtype=np.int32)
+    pos = np.array([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]])  # edge along +x
+    ei = np.array([[0, 1], [1, 0]], dtype=np.int32)
+    batch = collate([Datapoint(z, pos, edge_index=ei)])
+    module, _, _ = resolve_model(
+        "xpainn", node_dim=8, node_irreps="4x0e+2x1o", embed_basis="one-hot",
+        num_basis=4, action_blocks=1, output_modes=["energy"],
+    )
+    import jax
+
+    data = compute_edge_data({k: jnp.asarray(v) for k, v in batch.items()})
+    params = module.init(jax.random.PRNGKey(0), data)["params"]
+    out = module.apply({"params": params}, data)
+    rsh = np.asarray(out[keys.SPHERICAL_HARMONICS])
+    # edge 0: center 0, neighbor 1 -> vector = pos[0] - pos[1] = (-1.5,0,0)
+    # unit geometric (-1,0,0) -> irrep (y,z,x) = (0,0,-1), x sqrt(3)
+    l1_block = rsh[0, 4 : 4 + 3] / math.sqrt(3)
+    np.testing.assert_allclose(l1_block, [0.0, 0.0, -1.0], atol=1e-6)
