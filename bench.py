@@ -68,7 +68,10 @@ def main() -> None:
         num_basis=20,
         action_blocks=3,
         output_modes=["energy"],
-        remat=True,  # rematerialized backward: larger batches fit in HBM
+        # remat off: the bf16 pipeline fits this batch in HBM without it
+        # and runs 1.45x faster (393 -> 270 ms, PERF.md round-2 sweep);
+        # remat=True remains the config for larger batches/supercells
+        remat=False,
         compute_dtype="bfloat16",  # bf16 edge pipeline: 1.5x step speedup,
         # f32 params/accumulation (accuracy validated in tests, PERF.md)
     )

@@ -32,6 +32,7 @@ K_DST2: Final[str] = "k_dst2"
 K_CHUNK_BASE: Final[str] = "k_chunk_base"
 K_NCHUNKS: Final[str] = "k_nchunks"
 K_WSTARTS: Final[str] = "k_window_starts"
+K_EDGE_FEAT: Final[str] = "k_edge_feat"  # packed [E,128] rbf/fcut/Y stream
 
 # intermediate variables
 CENTER_IDX: Final[int] = 0

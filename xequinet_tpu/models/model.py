@@ -87,6 +87,14 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
         MessageCls = XPainnMessage
         UpdateCls = XPainnUpdate
 
+    compute_dtype: str = kwargs.get("compute_dtype", "float32")
+    # bf16 phase 2 (opt-in): update-block equivariant linears + MLP in
+    # this dtype as well (accuracy tracked in PERF.md)
+    update_compute_dtype: str = kwargs.get("update_compute_dtype", "float32")
+    # use_pallas_scatter: False | True ("v2" scatter kernel) | "mega"
+    # (whole-edge-pipeline kernel, ops/pallas_message)
+    use_pallas = kwargs.get("use_pallas_scatter", False)
+    pallas_layout = tuple(kwargs.get("pallas_layout", (256, 1024, 32, 8)))
     blocks: List[nn.Module] = [
         XEmbedding(
             node_dim=node_dim,
@@ -97,15 +105,13 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
             rbf_kernel=rbf_kernel,
             cutoff=cutoff,
             cutoff_fn=cutoff_fn,
+            pack_edge_features=(use_pallas in ("mega", "mega-xb")),
         )
     ]
     if charge_embed:
         blocks.append(ChargeEmbedding(node_dim=node_dim, activation=activation))
     if spin_embed:
         blocks.append(SpinEmbedding(node_dim=node_dim, activation=activation))
-    compute_dtype: str = kwargs.get("compute_dtype", "float32")
-    use_pallas: bool = kwargs.get("use_pallas_scatter", False)
-    pallas_layout = tuple(kwargs.get("pallas_layout", (256, 1024, 32, 8)))
     for _ in range(action_blocks):
         blocks.append(
             MessageCls(
@@ -125,6 +131,7 @@ def build_xpainn(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
                 node_irreps=node_irreps,
                 activation=activation,
                 layer_norm=layer_norm,
+                compute_dtype=update_compute_dtype,
             )
         )
     extra_properties: List[str] = []

@@ -32,12 +32,16 @@ class O3Linear(nn.Module):
     irreps_in: Irreps
     irreps_out: Irreps
     biases: bool = False
+    # bf16 phase 2: run the multiplicity-mixing einsums on the MXU in this
+    # dtype (params stay f32; accumulation f32 via preferred_element_type)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         sl_in = irreps_in.slices()
+        cdtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         out = []
         for i_out, (mul_out, ir_out) in enumerate(irreps_out):
@@ -55,9 +59,16 @@ class O3Linear(nn.Module):
                 xc = x[..., sl_in[i_in]].reshape(
                     x.shape[:-1] + (mi.mul, ir_out.dim)
                 )
-                y = jnp.einsum(
-                    "...um,uv->...vm", xc, w, precision=lax.Precision.HIGHEST
-                )
+                if cdtype is not None:
+                    y = jnp.einsum(
+                        "...um,uv->...vm", xc.astype(cdtype), w.astype(cdtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    y = jnp.einsum(
+                        "...um,uv->...vm", xc, w,
+                        precision=lax.Precision.HIGHEST,
+                    )
                 acc = y if acc is None else acc + y
             if acc is None:
                 acc = jnp.zeros(x.shape[:-1] + (mul_out, ir_out.dim), dtype=x.dtype)

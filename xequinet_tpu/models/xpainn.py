@@ -44,6 +44,10 @@ class XEmbedding(nn.Module):
     rbf_kernel: str = "bessel"
     cutoff: float = 5.0
     cutoff_fn: str = "cosine"
+    # mega-kernel mode: additionally pack [rbf*fcut | fcut | Y_unique]
+    # into one [E, 128] stream shared by every message block
+    # (ops/pallas_message.py)
+    pack_edge_features: bool = False
 
     @nn.compact
     def __call__(self, data: DataDict) -> DataDict:
@@ -76,6 +80,12 @@ class XEmbedding(nn.Module):
         data[keys.NODE_EQUIVARIANT] = jnp.zeros(
             (node_invariant.shape[0], irreps.dim), dtype=node_invariant.dtype
         )
+        if self.pack_edge_features:
+            from ..ops.pallas_message import pack_edge_features
+
+            data[keys.K_EDGE_FEAT] = pack_edge_features(
+                rbf, fcut, vec_irrep, irreps
+            )
         return data
 
 
@@ -95,9 +105,15 @@ class XPainnMessage(nn.Module):
     activation: str = "silu"
     layer_norm: bool = True
     compute_dtype: str = "float32"
-    # one-hot MXU kernel for the equivariant-state gather/scatter
-    # (requires collate(kernel_layout=...); ops/pallas_scatter_v2)
-    use_pallas: bool = False
+    # Pallas routing (requires collate(kernel_layout=...)):
+    #   False  — pure XLA path
+    #   True   — v2: equivariant-state gather/scatter via the one-hot MXU
+    #            kernel (ops/pallas_scatter_v2)
+    #   "mega" — the whole edge pipeline (filter, gather, gates, SH
+    #            gating, scatter) in one kernel (ops/pallas_message),
+    #            first-order backward kernelized too
+    #   "mega-xb" — mega forward kernel, XLA backward
+    use_pallas: object = False
     pallas_layout: tuple = (256, 1024, 32, 8)  # (BN, chunk, pad_nodes, max_chunks)
 
     @nn.compact
@@ -115,7 +131,6 @@ class XPainnMessage(nn.Module):
             node_equi = EquivariantLayerNorm(irreps=irreps)(node_equi)
         rbf = data[keys.RADIAL_BASIS_FUNCTION]
         fcut = data[keys.ENVELOPE_FUNCTION]
-        rsh = data[keys.SPHERICAL_HARMONICS].astype(cdtype)
         edge_index = data[keys.EDGE_INDEX]
         center_idx = edge_index[keys.CENTER_IDX]
         neighbor_idx = edge_index[keys.NEIGHBOR_IDX]
@@ -125,10 +140,25 @@ class XPainnMessage(nn.Module):
         h = nn.Dense(self.node_dim, dtype=cdtype)(node_scalar)
         h = act(h)
         scalar_out = nn.Dense(hidden_dim, dtype=cdtype)(h)
-        filter_weight = nn.Dense(hidden_dim, dtype=cdtype)(rbf) * fcut.astype(cdtype)
+        filter_dense = nn.Dense(hidden_dim, dtype=cdtype)
         node_equi = node_equi.astype(cdtype)
 
-        use_kernel = self.use_pallas and keys.K_SRC2 in data
+        use_mega = (
+            self.use_pallas in ("mega", "mega-xb")
+            and keys.K_SRC2 in data
+            and keys.K_EDGE_FEAT in data
+        )
+        if use_mega:
+            return self._mega_path(
+                data, irreps, scalar_out, node_equi, filter_dense,
+                center_idx, neighbor_idx, n_nodes, cdtype,
+            )
+        rsh = data[keys.SPHERICAL_HARMONICS].astype(cdtype)
+        filter_weight = filter_dense(rbf) * fcut.astype(cdtype)
+
+        use_kernel = (
+            self.use_pallas is True or self.use_pallas == "v2"
+        ) and keys.K_SRC2 in data
         # one gather and one scatter per block: neighbor scalars and
         # neighbor equivariants ride the same gather, and the scalar +
         # equivariant messages ride the same segment sum — halves the
@@ -209,6 +239,85 @@ class XPainnMessage(nn.Module):
         )
         return data
 
+    def _mega_path(
+        self, data, irreps, scalar_out, node_equi, filter_dense,
+        center_idx, neighbor_idx, n_nodes, cdtype,
+    ) -> DataDict:
+        """Whole-edge-pipeline mega-kernel route (ops/pallas_message).
+
+        The filter Dense's parameters are extracted by probing the module
+        with an identity/zero input (keeps the flax parameter structure
+        identical to the XLA path, so checkpoints interoperate)."""
+        from ..ops.pallas_message import _pad128, fused_message
+
+        hidden_dim = self.node_dim + irreps.num_irreps * 2
+        dim = irreps.dim
+        hp, dp, sdp = _pad128(hidden_dim), _pad128(dim), _pad128(self.node_dim)
+
+        # W rows + bias row -> [num_basis + 1, hidden]; ef's rbf columns
+        # already carry the fcut factor and its fcut column carries the
+        # bias (pallas_message module docstring)
+        probe = filter_dense(
+            jnp.concatenate(
+                [jnp.eye(self.num_basis, dtype=cdtype),
+                 jnp.zeros((1, self.num_basis), dtype=cdtype)]
+            )
+        )
+        bias = probe[-1]
+        wf_aug = jnp.concatenate([probe[:-1] - bias[None, :], bias[None, :]])
+        from ..ops.pallas_message import F_PACK
+
+        wf_aug = jnp.pad(
+            wf_aug.astype(jnp.float32),
+            ((0, F_PACK - wf_aug.shape[0]), (0, hp - hidden_dim)),
+        )
+
+        x_cat = jnp.concatenate(
+            [
+                jnp.pad(
+                    scalar_out.astype(jnp.float32),
+                    ((0, 0), (0, hp - hidden_dim)),
+                ),
+                jnp.pad(
+                    node_equi.astype(jnp.float32), ((0, 0), (0, dp - dim))
+                ),
+            ],
+            axis=-1,
+        )
+
+        bn_, chunk_, pad_nodes_, max_chunks_ = self.pallas_layout
+        window_ = bn_ + 2 * ((pad_nodes_ + 7) // 8) * 8
+        slot_meta = (
+            data[keys.K_SRC2],
+            data[keys.K_DST2],
+            neighbor_idx,
+            center_idx,
+            data[keys.K_CHUNK_BASE],
+            data[keys.K_NCHUNKS],
+            data[keys.K_WSTARTS],
+        )
+        mm = "bfloat16" if cdtype == jnp.bfloat16 else "float32"
+        agg_full = fused_message(
+            x_cat, data[keys.K_EDGE_FEAT], wf_aug, slot_meta,
+            data[keys.EDGE_MASK],
+            str(irreps), self.num_basis, self.node_dim,
+            n_nodes, bn_, chunk_, window_, max_chunks_, mm,
+            self.use_pallas == "mega",  # kernel_bwd
+        )
+        agg = jnp.concatenate(
+            [agg_full[:, : self.node_dim], agg_full[:, sdp : sdp + dim]],
+            axis=-1,
+        )
+        agg = checkpoint_name(agg, "edge_agg")
+        agg = agg.astype(data[keys.NODE_INVARIANT].dtype)
+        data[keys.NODE_INVARIANT] = (
+            data[keys.NODE_INVARIANT] + agg[..., : self.node_dim]
+        )
+        data[keys.NODE_EQUIVARIANT] = (
+            data[keys.NODE_EQUIVARIANT] + agg[..., self.node_dim :]
+        )
+        return data
+
 
 class XPainnUpdate(nn.Module):
     """Update block (reference nn/xpainn.py:164-231)."""
@@ -217,12 +326,17 @@ class XPainnUpdate(nn.Module):
     node_irreps: Irreps = Irreps("128x0e+64x1o+32x2e")
     activation: str = "silu"
     layer_norm: bool = True
+    # bf16 phase 2: equivariant linears + MLP on the MXU in this dtype
+    # (f32 params/accumulation/residual; accuracy tracked in PERF.md)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, data: DataDict) -> DataDict:
         irreps = Irreps(self.node_irreps)
         num_irreps = irreps.num_irreps
         act = resolve_activation(self.activation)
+        cdtype = jnp.dtype(self.compute_dtype)
+        mix_dtype = self.compute_dtype if cdtype != jnp.float32 else None
 
         node_scalar = data[keys.NODE_INVARIANT]
         node_equi = data[keys.NODE_EQUIVARIANT]
@@ -230,14 +344,15 @@ class XPainnUpdate(nn.Module):
             node_scalar = nn.LayerNorm(epsilon=1e-5)(node_scalar)
             node_equi = EquivariantLayerNorm(irreps=irreps)(node_equi)
 
-        u_equi = O3Linear(irreps, irreps, biases=True)(node_equi)
-        v_equi = O3Linear(irreps, irreps, biases=True)(node_equi)
+        u_equi = O3Linear(irreps, irreps, biases=True, compute_dtype=mix_dtype)(node_equi)
+        v_equi = O3Linear(irreps, irreps, biases=True, compute_dtype=mix_dtype)(node_equi)
 
         v_scalar = invariant(v_equi, irreps)
-        mlp_in = jnp.concatenate([node_scalar, v_scalar], axis=-1)
-        h = nn.Dense(self.node_dim)(mlp_in)
+        mlp_in = jnp.concatenate([node_scalar, v_scalar], axis=-1).astype(cdtype)
+        h = nn.Dense(self.node_dim, dtype=cdtype)(mlp_in)
         h = act(h)
-        mlp_out = nn.Dense(self.node_dim * 2 + num_irreps)(h)
+        mlp_out = nn.Dense(self.node_dim * 2 + num_irreps, dtype=cdtype)(h)
+        mlp_out = mlp_out.astype(jnp.float32)
 
         a_vv = mlp_out[..., :num_irreps]
         a_sv = mlp_out[..., num_irreps : num_irreps + self.node_dim]

@@ -1,0 +1,650 @@
+"""Pallas TPU mega-kernel: the entire XPaiNN message-block edge pipeline
+fused into one kernel (PERF.md roadmap #1).
+
+The XLA path materializes per edge, per message block: the neighbor
+gather [E, H+D], the radial filter [E, H], two gate expansions and the
+message tensors [E, D] — ~4 KB of HBM traffic per edge per block
+(reference hot loop: /root/reference/xequinet/nn/xpainn.py:128-161).
+This kernel keeps all of them in VMEM.  Per destination block ``b`` and
+edge chunk ``c`` (slot layout from data.batching kernel_layout /
+ops.pallas_scatter_v2.prepare_v2), everything runs as one-hot MXU
+matmuls plus VPU elementwise:
+
+    ef        = edge_feat chunk                      [C, F=128]
+    fw        = ef @ Wf_aug                          [C, Hp]   (filter)
+    gathered  = onehot(src_local) @ x_window         [C, Hp+Dp]
+    filter_out= gathered[:, :Hp] * fw                [C, Hp]
+    msg_v     = gathered[:, Hp:] * (filter_out @ E1)
+              + (ef @ BY) * (filter_out @ E2)        [C, Dp]
+    msg_s     = filter_out @ MS                      [C, SDp]
+    out[b]   += onehot(dst_local)^T @ [msg_s | msg_v]
+
+``edge_feat`` packs the per-edge basis once per batch (amortized over
+all action blocks): columns ``[rbf * fcut | fcut | Y_unique | 0...]``,
+so ``ef @ Wf_aug`` IS the radial filter ``(rbf @ W + b) * fcut`` when
+``Wf_aug = [W ; b]`` (the fcut column carries the bias).  ``E1``/``E2``
+are the 0/1 gate-expansion matrices of scalar_gate (each gate scalar
+broadcast over its irrep's 2l+1 components), ``MS`` selects the scalar
+message channels, ``BY`` broadcasts the unique spherical harmonics over
+multiplicities — all constant structure matrices, applied on the MXU
+(trading idle-MXU FLOPs for the HBM round trips that bound the XLA
+path, PERF.md "Interpretation").
+
+The op is exposed through a custom VJP whose backward is the jax.vjp of
+an XLA reference implementation of the same math — differentiable
+twice (force training is grad-of-grad), with the kernel on the forward
+and every remat recompute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .irreps import Irreps
+
+F_PACK = 128  # packed edge-feature width (lanes)
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+@functools.lru_cache(maxsize=None)
+def _structure_matrices(irreps_str: str, num_basis: int, node_dim: int):
+    """(E1, E2, MS, BY, dims) as numpy f32; cached per configuration.
+
+    dims = (H, Hp, D, Dp, SDp, nY) with H = node_dim + 2 * num_irreps.
+    """
+    irreps = Irreps(irreps_str)
+    ni = irreps.num_irreps
+    d = irreps.dim
+    h = node_dim + 2 * ni
+    hp, dp, sdp = _pad128(h), _pad128(d), _pad128(node_dim)
+
+    e1 = np.zeros((hp, dp), dtype=np.float32)
+    e2 = np.zeros((hp, dp), dtype=np.float32)
+    gate = 0
+    lane = 0
+    for mul, ir in irreps:
+        for u in range(mul):
+            e1[gate, lane : lane + ir.dim] = 1.0
+            e2[ni + gate, lane : lane + ir.dim] = 1.0
+            gate += 1
+            lane += ir.dim
+    ms = np.zeros((hp, sdp), dtype=np.float32)
+    ms[2 * ni : 2 * ni + node_dim, :node_dim] = np.eye(node_dim)
+
+    # unique harmonics: one (2l+1)-block per distinct l, in irreps order
+    distinct_ls = []
+    for _, ir in irreps:
+        if ir.l not in distinct_ls:
+            distinct_ls.append(ir.l)
+    n_y = sum(2 * l + 1 for l in distinct_ls)
+    ycol = {}
+    off = num_basis + 1
+    for l in distinct_ls:
+        ycol[l] = off
+        off += 2 * l + 1
+    assert off <= F_PACK, "packed edge features exceed 128 lanes"
+    by = np.zeros((F_PACK, dp), dtype=np.float32)
+    lane = 0
+    for mul, ir in irreps:
+        for _ in range(mul):
+            for m in range(ir.dim):
+                by[ycol[ir.l] + m, lane + m] = 1.0
+            lane += ir.dim
+    return e1, e2, ms, by, (h, hp, d, dp, sdp, n_y)
+
+
+def pack_edge_features(
+    rbf: jnp.ndarray,  # [T, nb]
+    fcut: jnp.ndarray,  # [T, 1]
+    vec_irrep: jnp.ndarray,  # [T, 3] (irrep basis, y,z,x)
+    irreps: Irreps,
+) -> jnp.ndarray:
+    """[T, 128] packed ``[rbf*fcut | fcut | Y_unique | 0]`` (see module
+    docstring).  Computed once per batch in XEmbedding and shared by all
+    message blocks."""
+    from .spherical import spherical_harmonics
+
+    distinct_ls = []
+    for _, ir in irreps:
+        if ir.l not in distinct_ls:
+            distinct_ls.append(ir.l)
+    unique = Irreps(
+        "+".join(f"1x{l}{'e' if (-1) ** l == 1 else 'o'}" for l in distinct_ls)
+    )
+    y = spherical_harmonics(unique, vec_irrep, normalize=True)
+    cols = jnp.concatenate([rbf * fcut, fcut, y.astype(rbf.dtype)], axis=-1)
+    t = cols.shape[0]
+    return jnp.pad(cols, ((0, 0), (0, F_PACK - cols.shape[1])))
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+def _kernel(
+    # scalar prefetch
+    chunk_base_ref,  # [n_blocks] int32
+    n_chunks_ref,  # [n_blocks] int32
+    window_starts_ref,  # [n_blocks] int32
+    # blocked inputs
+    src_ref,  # [C] int32 window-local
+    dst_ref,  # [C] int32 block-local
+    ef_ref,  # [C, F] packed edge features
+    wf_ref,  # [F, Hp]
+    e1_ref,  # [Hp, Dp]
+    e2_ref,  # [Hp, Dp]
+    ms_ref,  # [Hp, SDp]
+    by_ref,  # [F, Dp]
+    x_ref,  # [N, Hp+Dp] HBM
+    # output
+    out_ref,  # [BN, SDp+Dp] f32, revisited across c
+    # scratch
+    xwin_ref,  # [W, Hp+Dp]
+    sem_x,
+):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    bn = out_ref.shape[0]
+    w_dim = xwin_ref.shape[0]
+    c_sz = ef_ref.shape[0]
+    hp = wf_ref.shape[1]
+    sdp = ms_ref.shape[1]
+    mm = ef_ref.dtype  # matmul dtype (bf16 in production)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        wstart = pl.multiple_of(window_starts_ref[b], 8)
+        copy = pltpu.make_async_copy(
+            x_ref.at[pl.ds(wstart, w_dim), :], xwin_ref, sem_x
+        )
+        copy.start()
+        copy.wait()
+
+    @pl.when(c < n_chunks_ref[b])
+    def _():
+        ef = ef_ref[...]
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
+        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        gathered = jnp.dot(
+            onehot_src, xwin_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        filter_out = (gathered[:, :hp] * fw).astype(mm)
+        g1x = jnp.dot(filter_out, e1_ref[...], preferred_element_type=jnp.float32)
+        g2x = jnp.dot(filter_out, e2_ref[...], preferred_element_type=jnp.float32)
+        rshx = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+        msg_v = (gathered[:, hp:] * g1x + rshx * g2x).astype(mm)
+        msg_s = jnp.dot(filter_out, ms_ref[...], preferred_element_type=jnp.float32).astype(mm)
+
+        rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
+        onehot_dst = (rowb == dst_ref[...][None, :]).astype(mm)
+        out_ref[:, :sdp] += jnp.dot(
+            onehot_dst, msg_s, preferred_element_type=jnp.float32
+        )
+        out_ref[:, sdp:] += jnp.dot(
+            onehot_dst, msg_v, preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "irreps_str", "num_basis", "node_dim", "n_out", "block_nodes",
+        "chunk", "window", "max_chunks", "mm_dtype",
+    ),
+)
+def _mega_call(
+    x_cat,  # [N, Hp+Dp]
+    edge_feat,  # [T, F]
+    wf_aug,  # [F, Hp]
+    src2, dst2, chunk_base, n_chunks, window_starts,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+):
+    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+        irreps_str, num_basis, node_dim
+    )
+    mm = jnp.dtype(mm_dtype)
+    n_blocks = (n_out + block_nodes - 1) // block_nodes
+    xw = hp + dp
+
+    def idx_chunk(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc, 0)
+
+    def idx_flat(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc,)
+
+    const = lambda b, c, *_refs: (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks, max_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((window, xw), mm),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * block_nodes, sdp + dp), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        chunk_base, n_chunks, window_starts,
+        src2, dst2,
+        edge_feat.astype(mm),
+        wf_aug.astype(mm),
+        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
+        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        x_cat.astype(mm),
+    )
+    return out[:n_out]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+def _bwd_kernel(
+    # scalar prefetch
+    chunk_base_ref,  # [n_blocks] int32
+    n_chunks_ref,  # [n_blocks] int32
+    window_starts_ref,  # [n_blocks] int32
+    # blocked inputs
+    src_ref,  # [C] int32 window-local
+    dst_ref,  # [C] int32 block-local
+    ef_ref,  # [C, F]
+    g_ref,  # [BN, SDp+Dp] f32 cotangent block
+    wf_ref,  # [F, Hp]
+    e1_ref,  # [Hp, Dp]
+    e2_ref,  # [Hp, Dp]
+    ms_ref,  # [Hp, SDp]
+    by_ref,  # [F, Dp]
+    x_ref,  # [N, Hp+Dp] HBM
+    # outputs
+    dxwin_ref,  # [1, W, Hp+Dp] f32 per-block window accumulator
+    def_ref,  # [C, F] f32 slot-aligned
+    dwf_ref,  # [F, Hp] f32 accumulated across the whole grid
+    # scratch
+    xwin_ref,  # [W, Hp+Dp]
+    sem_x,
+):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    bn = g_ref.shape[0]
+    w_dim = xwin_ref.shape[0]
+    c_sz = ef_ref.shape[0]
+    hp = wf_ref.shape[1]
+    sdp = ms_ref.shape[1]
+    mm = ef_ref.dtype
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _():
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dxwin_ref[...] = jnp.zeros_like(dxwin_ref)
+        wstart = pl.multiple_of(window_starts_ref[b], 8)
+        copy = pltpu.make_async_copy(
+            x_ref.at[pl.ds(wstart, w_dim), :], xwin_ref, sem_x
+        )
+        copy.start()
+        copy.wait()
+
+    @pl.when(c < n_chunks_ref[b])
+    def _():
+        contract_rhs = (((1,), (1,)), ((), ()))  # a[C,K] x m[J,K] -> [C,J]
+        contract_lhs0 = (((0,), (0,)), ((), ()))  # a[C,K] x b[C,J] -> [K,J]
+        ef = ef_ref[...]
+        # cotangent gather by dst: padding slots (dst == BN) match no row
+        colb = jax.lax.broadcasted_iota(jnp.int32, (c_sz, bn), 1)
+        onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
+        gm = jnp.dot(
+            onehot_dst, g_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        gms_s = gm[:, :sdp]
+        gms_v = gm[:, sdp:]
+
+        # recompute forward intermediates (MXU flops, zero HBM)
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
+        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        gathered = jnp.dot(
+            onehot_src, xwin_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        gs = gathered[:, :hp]
+        gv = gathered[:, hp:]
+        fo = (gs * fw).astype(mm)
+        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32)
+        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32)
+        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+
+        dgv = (g1 * gms_v).astype(mm)
+        dfo = (
+            jax.lax.dot_general(
+                (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                gms_s.astype(mm), ms_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        drsh = (g2 * gms_v).astype(mm)
+        dgs = (dfo * fw).astype(mm)
+        dfw = (dfo * gs).astype(mm)
+
+        def_ref[...] = (
+            jax.lax.dot_general(
+                dfw, wf_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                drsh, by_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dwf_ref[...] += jax.lax.dot_general(
+            ef, dfw, contract_lhs0, preferred_element_type=jnp.float32
+        )
+        dxwin_ref[0] += jax.lax.dot_general(
+            onehot_src,
+            jnp.concatenate([dgs, dgv], axis=-1),
+            contract_lhs0,
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "irreps_str", "num_basis", "node_dim", "n_out", "block_nodes",
+        "chunk", "window", "max_chunks", "mm_dtype",
+    ),
+)
+def _mega_bwd_call(
+    x_cat, edge_feat, wf_aug, g,
+    src2, dst2, chunk_base, n_chunks, window_starts,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+):
+    """(dx_cat, d_edge_feat, d_wf_aug) via the backward mega-kernel.
+
+    Per-block window gradients are overlap-added into [N, Hp+Dp] with one
+    segment-sum over n_blocks*W rows (~10x fewer rows than slot edges).
+    """
+    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+        irreps_str, num_basis, node_dim
+    )
+    mm = jnp.dtype(mm_dtype)
+    n_blocks = (n_out + block_nodes - 1) // block_nodes
+    xw = hp + dp
+    t_slots = edge_feat.shape[0]
+    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), jnp.float32)
+    g_pad = g_pad.at[:n_out].set(g.astype(jnp.float32))
+
+    def idx_chunk(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc, 0)
+
+    def idx_flat(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc,)
+
+    const = lambda b, c, *_refs: (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks, max_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, window, xw), lambda b, c, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, xw), mm),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dxwin, d_ef, d_wf = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, window, xw), jnp.float32),
+            jax.ShapeDtypeStruct((t_slots, F_PACK), jnp.float32),
+            jax.ShapeDtypeStruct((F_PACK, hp), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        chunk_base, n_chunks, window_starts,
+        src2, dst2,
+        edge_feat.astype(mm),
+        g_pad,
+        wf_aug.astype(mm),
+        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
+        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        x_cat.astype(mm),
+    )
+    rows = (
+        window_starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    dx = jax.ops.segment_sum(
+        dxwin.reshape(-1, xw), rows, num_segments=x_cat.shape[0]
+    )
+    return (
+        dx.astype(x_cat.dtype),
+        d_ef.astype(edge_feat.dtype),
+        d_wf.astype(wf_aug.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (test oracle + custom-VJP backward)
+# ---------------------------------------------------------------------------
+def xla_reference(
+    x_cat, edge_feat, wf_aug, src_g, dst_g, edge_mask,
+    irreps_str, num_basis, node_dim, n_out, compute_dtype=jnp.float32,
+):
+    """Same math on XLA over the slot-edge arrays; differentiable, used
+    as the backward of the kernel (jax.vjp) and as the test oracle."""
+    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+        irreps_str, num_basis, node_dim
+    )
+    cd = jnp.dtype(compute_dtype)
+    ef = edge_feat.astype(cd)
+    fw = (ef @ wf_aug.astype(cd)).astype(jnp.float32)
+    gathered = jnp.take(x_cat.astype(cd), src_g, axis=0).astype(jnp.float32)
+    filter_out = (gathered[:, :hp] * fw).astype(cd)
+    g1x = (filter_out @ jnp.asarray(e1, cd)).astype(jnp.float32)
+    g2x = (filter_out @ jnp.asarray(e2, cd)).astype(jnp.float32)
+    rshx = (ef @ jnp.asarray(by, cd)).astype(jnp.float32)
+    msg_v = gathered[:, hp:] * g1x + rshx * g2x
+    msg_s = (filter_out @ jnp.asarray(ms, cd)).astype(jnp.float32)
+    msg = jnp.concatenate([msg_s, msg_v], axis=-1)
+    msg = jnp.where(edge_mask[:, None], msg, 0.0)
+    return jax.ops.segment_sum(
+        msg, dst_g, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+_STATICS = (5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=_STATICS)
+def fused_message(
+    x_cat, edge_feat, wf_aug, slot_meta, edge_mask,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype, kernel_bwd,
+):
+    """agg [n_out, SDp+Dp] = the message block's full edge pipeline.
+
+    slot_meta = (src2, dst2, src_global, dst_global, chunk_base, n_chunks,
+    window_starts) from the collate kernel layout.  With ``kernel_bwd``
+    the first-order backward also runs as a Pallas kernel (the
+    second-order pass of force training falls back to XLA)."""
+    src2, dst2, src_g, dst_g, cb, nc, ws = slot_meta
+    return _mega_call(
+        x_cat, edge_feat, wf_aug, src2, dst2, cb, nc, ws,
+        irreps_str, num_basis, node_dim,
+        n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    )
+
+
+def _fused_fwd(
+    x_cat, edge_feat, wf_aug, slot_meta, edge_mask,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype, kernel_bwd,
+):
+    out = fused_message(
+        x_cat, edge_feat, wf_aug, slot_meta, edge_mask,
+        irreps_str, num_basis, node_dim,
+        n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+        kernel_bwd,
+    )
+    return out, (x_cat, edge_feat, wf_aug, slot_meta, edge_mask)
+
+
+def _fused_bwd(
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype, kernel_bwd,
+    res, g,
+):
+    x_cat, edge_feat, wf_aug, slot_meta, edge_mask = res
+    if kernel_bwd:
+        dx, def_, dwf = fused_message_bwd(
+            x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
+            irreps_str, num_basis, node_dim,
+            n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+        )
+        return (dx, def_, dwf, None, None)
+    src_g, dst_g = slot_meta[2], slot_meta[3]
+    _, vjp = jax.vjp(
+        lambda x, ef, wf: xla_reference(
+            x, ef, wf, src_g, dst_g, edge_mask,
+            irreps_str, num_basis, node_dim, n_out,
+            compute_dtype=mm_dtype,
+        ),
+        x_cat, edge_feat, wf_aug,
+    )
+    dx, def_, dwf = vjp(g)
+    return (dx, def_, dwf, None, None)
+
+
+fused_message.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def fused_message_bwd(
+    x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+):
+    """(dx_cat, d_edge_feat, d_wf_aug) by the backward mega-kernel.
+
+    Itself a custom-VJP primitive so force training (grad-of-grad) stays
+    differentiable: its own backward is the jax.vjp of the XLA backward."""
+    src2, dst2, src_g, dst_g, cb, nc, ws = slot_meta
+    return _mega_bwd_call(
+        x_cat, edge_feat, wf_aug, g, src2, dst2, cb, nc, ws,
+        irreps_str, num_basis, node_dim,
+        n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    )
+
+
+def _fmb_fwd(
+    x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+):
+    out = fused_message_bwd(
+        x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
+        irreps_str, num_basis, node_dim,
+        n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    )
+    return out, (x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask)
+
+
+def _fmb_bwd(
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    res, cot,
+):
+    x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask = res
+    src_g, dst_g = slot_meta[2], slot_meta[3]
+
+    def xla_bwd(x, ef, wf, gg):
+        _, vjp = jax.vjp(
+            lambda xx, ee, ww: xla_reference(
+                xx, ee, ww, src_g, dst_g, edge_mask,
+                irreps_str, num_basis, node_dim, n_out,
+                compute_dtype=mm_dtype,
+            ),
+            x, ef, wf,
+        )
+        return vjp(gg)
+
+    _, vjp2 = jax.vjp(xla_bwd, x_cat, edge_feat, wf_aug, g)
+    dx2, def2, dwf2, dg2 = vjp2(tuple(cot))
+    return (dx2, def2, dwf2, dg2, None, None)
+
+
+fused_message_bwd.defvjp(_fmb_fwd, _fmb_bwd)

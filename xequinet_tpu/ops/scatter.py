@@ -35,6 +35,48 @@ def edge_parallel(axis_name: str):
         _EDGE_PSUM_AXIS.reset(token)
 
 
+# When set, edge->node aggregations refresh their halo rows by boundary
+# ppermute instead of a full psum — the explicit halo-exchange domain
+# decomposition (parallel/halo.py, SURVEY.md §5.7 north star).  Spec:
+# (axis_name, axis_size, n_local, halo_rows).
+_HALO_SPEC: contextvars.ContextVar = contextvars.ContextVar(
+    "halo_spec", default=None
+)
+
+
+@contextlib.contextmanager
+def halo_parallel(axis_name: str, axis_size: int, n_local: int, halo: int):
+    """Trace-time context: scope="edges" aggregations run on a node WINDOW
+    of ``halo + n_local + halo`` rows per shard; after each local
+    aggregation the halo rows are refreshed from the owning neighbor with
+    two boundary ``ppermute``s of [halo, D] rows — O(halo) comm per block
+    instead of the GSPMD path's O(n_nodes) all-reduce."""
+    token = _HALO_SPEC.set((axis_name, axis_size, n_local, halo))
+    try:
+        yield
+    finally:
+        _HALO_SPEC.reset(token)
+
+
+def _halo_refresh(agg: jnp.ndarray, axis: str, size: int, nl: int, h: int):
+    """Overwrite the halo rows of a [h+nl+h, ...] window aggregation with
+    the neighbors' authoritative local rows.
+
+    Left halo of shard i  = shard i-1 rows [nl, nl+h)   (its local tail);
+    right halo of shard i = shard i+1 rows [h, 2h)      (its local head).
+    Edge shards hold no left/right neighbor -> ppermute delivers zeros,
+    which is exact for non-wrapping boundaries."""
+    if h == 0 or size == 1:
+        return agg
+    left = jax.lax.ppermute(
+        agg[nl : nl + h], axis, [(i, i + 1) for i in range(size - 1)]
+    )
+    right = jax.lax.ppermute(
+        agg[h : 2 * h], axis, [(i, i - 1) for i in range(1, size)]
+    )
+    return jnp.concatenate([left, agg[h : h + nl], right], axis=0)
+
+
 def segment_sum(
     src: jnp.ndarray,
     index: jnp.ndarray,
@@ -59,6 +101,9 @@ def segment_sum(
     axis = _EDGE_PSUM_AXIS.get()
     if scope == "edges" and axis is not None:
         out = jax.lax.psum(out, axis)
+    spec = _HALO_SPEC.get()
+    if scope == "edges" and spec is not None:
+        out = _halo_refresh(out, *spec)
     return out
 
 

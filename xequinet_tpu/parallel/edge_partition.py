@@ -13,10 +13,10 @@ at high neighbor counts — across the mesh and inserts the all-reduces for
 the edge->node segment sums and their transposes over ICI.  This is the
 scaling-book recipe: annotate shardings, let XLA insert collectives.
 
-The halo-exchange domain decomposition (sharded nodes + ppermute boundary
-exchange overlapped with local aggregation) is the planned upgrade for
-node-memory-bound systems; the explicit-collective hook for it already
-exists (ops/scatter.py ``edge_parallel`` / ``scope="edges"``).
+For node-memory-bound systems the explicit halo-exchange domain
+decomposition (sharded nodes + ppermute boundary exchange) lives in
+:mod:`parallel.halo` — O(halo) comm per aggregation instead of this
+path's O(n_nodes) all-reduce.
 """
 
 from __future__ import annotations

@@ -1,0 +1,228 @@
+"""Halo-exchange domain decomposition for one large atomic system.
+
+The explicit-collective upgrade of :mod:`parallel.edge_partition`
+(SURVEY.md §5.7 north star) — a capability the reference does NOT have
+(its largest-system path is single-device, reference
+data/radius_graph.py:128-155).
+
+Nodes are sharded CONTIGUOUSLY in spatial order over a mesh axis (the
+C++ cell-list search already emits spatially sorted indices); each shard
+owns ``n_local`` nodes plus a ``halo``-row window on either side.  Edges
+are partitioned by the owner of their *center* (dst) node, so every
+edge aggregation is local to one shard.  Per message block, the only
+communication is two boundary ``ppermute``s of [halo, D] feature rows
+(ops/scatter.py:halo_parallel) — O(halo · D) bytes over ICI, vs the
+GSPMD edge-sharding path's O(n_nodes · D) all-reduce per aggregation.
+XLA overlaps the ppermute DMAs with the independent local compute that
+follows them (the update-block matmuls of the previous refresh).
+
+Exactness (energy, forces) vs the single-device forward is proven in
+``tests/test_halo.py`` on an 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from .. import keys
+from ..models.properties import compute_edge_data
+from ..ops.scatter import halo_parallel
+from .mesh import GP_AXIS
+
+Array = jnp.ndarray
+DataDict = Dict[str, Array]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def halo_partition(
+    z: np.ndarray,  # [N] atomic numbers, spatially sorted
+    pos: np.ndarray,  # [N, 3]
+    edge_index: np.ndarray,  # [2, E] global (center, neighbor), center-sorted
+    n_shards: int,
+    halo: int,
+    cell_offsets: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
+    """Partition one large system into per-shard window subgraphs.
+
+    Returns (stacked_batch, geom) where every array in ``stacked_batch``
+    has a leading shard axis and ``geom = {"n_local", "halo", "window"}``.
+    Nodes must be ordered so that every edge's neighbor index is within
+    ``halo`` rows of its center's shard range (spatial sort; asserted).
+    """
+    n = len(z)
+    nl = _ceil_to((n + n_shards - 1) // n_shards, 8)
+    h = _ceil_to(halo, 8)
+    cap = n_shards * nl
+    w = nl + 2 * h
+
+    zp = np.zeros(cap, dtype=z.dtype)
+    zp[:n] = z
+    pp = np.zeros((cap, 3), dtype=pos.dtype)
+    pp[:n] = pos
+
+    dst, src = edge_index[0], edge_index[1]
+    owner = dst // nl
+    # per-shard edge runs (dst sorted -> owners sorted)
+    counts = np.bincount(owner, minlength=n_shards)
+    reach = np.abs(src - dst).max() if len(src) else 0
+    if reach > h + nl - 1:
+        raise ValueError(
+            f"edge reaches {reach} rows from its center; halo {h} (+local "
+            f"{nl}) too small — sort nodes spatially or raise halo"
+        )
+    el = max(_ceil_to(int(counts.max()) if n else 1, 128), 128)
+
+    ei = np.zeros((n_shards, 2, el), dtype=np.int32)
+    em = np.zeros((n_shards, el), dtype=bool)
+    co = (
+        np.zeros((n_shards, el, 3), dtype=cell_offsets.dtype)
+        if cell_offsets is not None
+        else None
+    )
+    zw = np.zeros((n_shards, w), dtype=z.dtype)
+    nm = np.zeros((n_shards, w), dtype=bool)
+    pl = np.zeros((n_shards, nl, 3), dtype=pos.dtype)
+    starts = np.searchsorted(owner, np.arange(n_shards))
+    ends = np.searchsorted(owner, np.arange(n_shards), side="right")
+    for d in range(n_shards):
+        base = d * nl - h  # global row of window row 0
+        s, e = int(starts[d]), int(ends[d])
+        k = e - s
+        dl = dst[s:e] - base
+        sl = src[s:e] - base
+        if k and (sl.min() < 0 or sl.max() >= w):
+            raise ValueError(
+                f"shard {d}: neighbor outside window; raise halo (>{h})"
+            )
+        ei[d, 0, :k] = dl
+        ei[d, 1, :k] = sl
+        em[d, :k] = True
+        if co is not None:
+            co[d, :k] = cell_offsets[s:e]
+        lo, hi = max(base, 0), min(base + w, cap)
+        zw[d, lo - base : hi - base] = zp[lo:hi]
+        nm[d, h : h + nl] = (np.arange(d * nl, (d + 1) * nl) < n)
+        pl[d] = pp[d * nl : (d + 1) * nl]
+
+    batch = {
+        keys.ATOMIC_NUMBERS: zw,
+        keys.POSITIONS: pl,
+        keys.EDGE_INDEX: ei,
+        keys.EDGE_MASK: em,
+        keys.NODE_MASK: nm,
+        keys.BATCH: np.zeros((n_shards, w), dtype=np.int32),
+        keys.GRAPH_MASK: np.ones((n_shards, 1), dtype=bool),
+    }
+    if co is not None:
+        batch[keys.CELL_OFFSETS] = co
+    return batch, {"n_local": nl, "halo": h, "window": w}
+
+
+def _exchange_window(
+    pos_local: Array, axis: str, size: int, nl: int, h: int
+) -> Array:
+    """[nl, 3] owned positions -> [h+nl+h, 3] window via two ppermutes."""
+    if size == 1 or h == 0:
+        pad = jnp.zeros((h, 3), pos_local.dtype)
+        return jnp.concatenate([pad, pos_local, pad], axis=0)
+    left = jax.lax.ppermute(
+        pos_local[nl - h :], axis, [(i, i + 1) for i in range(size - 1)]
+    )
+    right = jax.lax.ppermute(
+        pos_local[:h], axis, [(i, i - 1) for i in range(1, size)]
+    )
+    return jnp.concatenate([left, pos_local, right], axis=0)
+
+
+def make_halo_forward(
+    apply_fn: Callable[[DataDict], DataDict],
+    mesh: Mesh,
+    geom: Dict[str, int],
+    axis: str = GP_AXIS,
+):
+    """Build ``forward(stacked_batch, compute_forces) -> (energy, forces)``
+    running the model under shard_map with explicit halo exchange.
+
+    * positions enter owned-rows-only and are windowed in-graph, so force
+      autodiff routes halo contributions back to the owning shard through
+      the ppermute transpose — forces come out exact per owned row;
+    * every edge aggregation refreshes its halo rows via
+      ops.scatter.halo_parallel (O(halo) comm per block);
+    * energy is the psum of the shard-local masked sums.
+    """
+    nl, h = geom["n_local"], geom["halo"]
+    size = int(mesh.shape[axis])
+
+    def local_energy(pos_local: Array, static_data: DataDict):
+        win = _exchange_window(pos_local, axis, size, nl, h)
+        d = dict(static_data)
+        d[keys.POSITIONS] = win
+        d = compute_edge_data(d, None)
+        with halo_parallel(axis, size, nl, h):
+            out = apply_fn(d)
+        e_local = jnp.sum(out[keys.TOTAL_ENERGY])  # halo rows masked out
+        return e_local, out
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    def fwd_forces(pos_stacked, data_stacked):
+        pos_local = pos_stacked[0]
+        local = {k: v[0] for k, v in data_stacked.items()}
+        (e, _), g = jax.value_and_grad(local_energy, has_aux=True)(
+            pos_local, local
+        )
+        return jax.lax.psum(e, axis), -g[None]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def fwd_energy(pos_stacked, data_stacked):
+        e, _ = local_energy(pos_stacked[0], {k: v[0] for k, v in data_stacked.items()})
+        return jax.lax.psum(e, axis)
+
+    j_ff = jax.jit(fwd_forces)
+    j_fe = jax.jit(fwd_energy)
+
+    def forward(stacked_batch: DataDict, compute_forces: bool = True):
+        data = {
+            k: jnp.asarray(v)
+            for k, v in stacked_batch.items()
+            if k != keys.POSITIONS
+        }
+        pos = jnp.asarray(stacked_batch[keys.POSITIONS])
+        if compute_forces:
+            e, f = j_ff(pos, data)
+            return e, f.reshape(-1, 3)
+        return j_fe(pos, data), None
+
+    return forward
+
+
+def comm_bytes_per_block(
+    geom: Dict[str, int], feat_dim: int, n_nodes: int, itemsize: int = 4
+) -> Dict[str, int]:
+    """Analytic per-aggregation communication volume: halo exchange vs the
+    GSPMD edge-sharding all-reduce (recorded in PERF.md)."""
+    return {
+        "halo_exchange": 2 * geom["halo"] * feat_dim * itemsize,
+        "gspmd_allreduce": n_nodes * feat_dim * itemsize,
+    }
