@@ -20,6 +20,10 @@ import numpy as np
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.json")
 
+# mega-kernel slot layout: destination block size (PERF.md round-2 sweep:
+# BN=512 balances slot-padding overhead vs per-block onehot width)
+KERNEL_BN = 512
+
 
 def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
     from xequinet_tpu.data.batching import collate
@@ -36,7 +40,9 @@ def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
         e = float(rng.normal())
         f = rng.normal(size=(n, 3))
         dps.append(Datapoint(z, pos, edge_index=ei, energy=e, forces=f))
-    return collate(dps)
+    layout = {"block_nodes": KERNEL_BN, "chunk": 1024, "pad_nodes": 32,
+              "max_chunks": 32}
+    return collate(dps, kernel_layout=layout)
 
 
 def main() -> None:
@@ -59,6 +65,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     batch_np = build_batch(rng)
     n_edges_real = int(batch_np[keys.EDGE_MASK].sum())
+    max_chunks = int(batch_np[keys.K_NCHUNKS].max())
 
     module, extra, _ = resolve_model(
         "xpainn",
@@ -74,6 +81,13 @@ def main() -> None:
         remat=False,
         compute_dtype="bfloat16",  # bf16 edge pipeline: 1.5x step speedup,
         # f32 params/accumulation (accuracy validated in tests, PERF.md)
+        update_compute_dtype="bfloat16",  # bf16 update-block MXU work
+        # Pallas mega kernels for the whole message pipeline: forward,
+        # first-order backward AND the force-training second-order pass
+        # (grad-of-grad) each run as one fused kernel (PERF.md round 2:
+        # 926k edges/s vs 671k XLA at BN=512)
+        use_pallas_scatter="mega",
+        pallas_layout=(KERNEL_BN, 1024, 32, max_chunks),
     )
     params = init_params(module, batch_np)
     apply_forward = make_apply_forward(module, extra)

@@ -137,6 +137,75 @@ def test_mega_bwd_kernel_matches_xla_vjp(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_mega_bwd2_kernel_matches_xla_vjp2(rng):
+    """Second-order kernel (d2x, d2ef, d2wf, d2g) == jax.vjp of the XLA
+    backward — force training's grad-of-grad path."""
+    from xequinet_tpu.ops.pallas_message import _mega_bwd2_call
+
+    (src2, dst2, src_g, dst_g, cb, nc, ws, window, mx, valid,
+     n_pad, total, bn, chunk) = _slot_problem(rng)
+    irreps = Irreps(IRREPS)
+    _, _, _, _, (h, hp, d, dp, sdp, n_y) = _structure_matrices(IRREPS, NB, SD)
+
+    x_cat = rng.normal(size=(n_pad, hp + dp)).astype(np.float32)
+    x_cat[:, h:hp] = 0.0
+    x_cat[:, hp + d :] = 0.0
+    rbf = rng.normal(size=(total, NB)).astype(np.float32)
+    fcut = rng.uniform(0.1, 1.0, size=(total, 1)).astype(np.float32)
+    vec = rng.normal(size=(total, 3)).astype(np.float32)
+    ef = np.asarray(pack_edge_features(
+        jnp.asarray(rbf), jnp.asarray(fcut), jnp.asarray(vec), irreps
+    ))
+    wf_aug = np.zeros((128, hp), dtype=np.float32)
+    wf_aug[: NB + 1, :h] = rng.normal(size=(NB + 1, h)).astype(np.float32)
+    g = rng.normal(size=(n_pad, sdp + dp)).astype(np.float32)
+    # incoming cotangents on (dx, def, dwf)
+    cx = rng.normal(size=(n_pad, hp + dp)).astype(np.float32)
+    cef = rng.normal(size=(total, 128)).astype(np.float32)
+    cwf = rng.normal(size=(128, hp)).astype(np.float32)
+
+    def xla_bwd(x, e, w, gg):
+        _, vjp = jax.vjp(
+            lambda xx, ee, ww: xla_reference(
+                xx, ee, ww, jnp.asarray(src_g), jnp.asarray(dst_g),
+                jnp.asarray(valid), IRREPS, NB, SD, n_pad,
+            ),
+            x, e, w,
+        )
+        return vjp(gg)
+
+    _, vjp2 = jax.vjp(
+        xla_bwd, jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+        jnp.asarray(g),
+    )
+    want_dx2, want_def2, want_dwf2, want_dg2 = vjp2(
+        (jnp.asarray(cx), jnp.asarray(cef), jnp.asarray(cwf))
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        dx2, def2, dwf2, dg2 = _mega_bwd2_call(
+            jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+            jnp.asarray(g), jnp.asarray(cx), jnp.asarray(cef),
+            jnp.asarray(cwf),
+            jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+            jnp.asarray(nc), jnp.asarray(ws),
+            IRREPS, NB, SD, n_pad, bn, chunk, window, mx, "float32",
+        )
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(want_dx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwf2), np.asarray(want_dwf2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dg2), np.asarray(want_dg2),
+                               rtol=1e-4, atol=1e-4)
+    # d2ef: the XLA vjp zeroes padding slots through the mask; the kernel
+    # zeroes them through the gms factors — compare on real slots, assert
+    # padding-slot rows are zero
+    np.testing.assert_allclose(np.asarray(def2)[valid],
+                               np.asarray(want_def2)[valid],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(def2)[~valid], 0.0, atol=1e-5)
+
+
 def test_structure_matrices_match_scalar_gate(rng):
     """E1/E2/BY reproduce scalar_gate + SH broadcasting exactly."""
     from xequinet_tpu.ops.o3ops import scalar_gate

@@ -498,6 +498,320 @@ def _mega_bwd_call(
 
 
 # ---------------------------------------------------------------------------
+# Second-order kernel (force training: VJP of the backward kernel)
+# ---------------------------------------------------------------------------
+def _bwd2_kernel(
+    # scalar prefetch
+    chunk_base_ref,  # [n_blocks] int32
+    n_chunks_ref,  # [n_blocks] int32
+    window_starts_ref,  # [n_blocks] int32
+    # blocked inputs
+    src_ref,  # [C] int32 window-local
+    dst_ref,  # [C] int32 block-local
+    ef_ref,  # [C, F]
+    cef_ref,  # [C, F] cotangent on d_edge_feat
+    g_ref,  # [BN, SDp+Dp] f32 first-order cotangent block
+    cwf_ref,  # [F, Hp] cotangent on d_wf_aug
+    wf_ref,  # [F, Hp]
+    e1_ref,  # [Hp, Dp]
+    e2_ref,  # [Hp, Dp]
+    ms_ref,  # [Hp, SDp]
+    by_ref,  # [F, Dp]
+    x_ref,  # [N, Hp+Dp] HBM
+    cx_ref,  # [N, Hp+Dp] HBM cotangent on dx_cat
+    # outputs
+    d2xwin_ref,  # [1, W, Hp+Dp] f32 per-block window accumulator
+    d2ef_ref,  # [C, F] f32 slot-aligned
+    d2wf_ref,  # [F, Hp] f32 accumulated across the whole grid
+    d2g_ref,  # [BN, SDp+Dp] f32, revisited across c
+    # scratch
+    xwin_ref,  # [W, Hp+Dp]
+    cxwin_ref,  # [W, Hp+Dp]
+    sem_x,
+    sem_cx,
+):
+    """VJP of `_bwd_kernel`'s math wrt (x_cat, edge_feat, wf_aug, g) given
+    cotangents (cx, cef, cwf) on its outputs (dx, def, dwf).
+
+    Derivation (per edge; fw=ef@W, gs|gv=x[src], fo=gs*fw, g1=fo@E1,
+    g2=fo@E2, rsh=ef@BY, gms=g[dst], dfo=(gv*gms_v)@E1'+(rsh*gms_v)@E2'
+    +gms_s@MS'): the pairing Phi = <cx,dx>+<cef,def>+<cwf,dwf> collapses
+    to Phi_e = A.dfo + cxv.(g1*gms_v) + (cef@BY).(g2*gms_v) with
+    R = cef@W + ef@cwf and A = cxh*fw + R*gs, so
+
+        dPhi/dg[dst] = [A@MS | gv*(A@E1)+rsh*(A@E2)+cxv*g1+g2*(cef@BY)]
+        dPhi/dx[src] = [dfo*R + U*fw | gms_v*(A@E1)]
+        dPhi/def     = (dfo*cxh + U*gs)@W' + (gms_v*(A@E2))@BY'
+                       + (dfo*gs)@cwf'
+        dPhi/dwf     = ef'@(dfo*cxh + U*gs) + cef'@(dfo*gs)
+
+    with U = (cxv*gms_v)@E1' + ((cef@BY)*gms_v)@E2'.  Same one-hot MXU
+    structure as the forward/backward kernels; padding slots contribute
+    exactly zero because every term carries a gms factor and padding dst
+    matches no row of g."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    bn = g_ref.shape[0]
+    w_dim = xwin_ref.shape[0]
+    c_sz = ef_ref.shape[0]
+    hp = wf_ref.shape[1]
+    sdp = ms_ref.shape[1]
+    mm = ef_ref.dtype
+    contract_rhs = (((1,), (1,)), ((), ()))  # a[C,K] x m[J,K] -> [C,J]
+    contract_lhs0 = (((0,), (0,)), ((), ()))  # a[C,K] x b[C,J] -> [K,J]
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _():
+        d2wf_ref[...] = jnp.zeros_like(d2wf_ref)
+
+    @pl.when(c == 0)
+    def _():
+        d2xwin_ref[...] = jnp.zeros_like(d2xwin_ref)
+        d2g_ref[...] = jnp.zeros_like(d2g_ref)
+        wstart = pl.multiple_of(window_starts_ref[b], 8)
+        copy = pltpu.make_async_copy(
+            x_ref.at[pl.ds(wstart, w_dim), :], xwin_ref, sem_x
+        )
+        copy.start()
+        copy2 = pltpu.make_async_copy(
+            cx_ref.at[pl.ds(wstart, w_dim), :], cxwin_ref, sem_cx
+        )
+        copy2.start()
+        copy.wait()
+        copy2.wait()
+
+    @pl.when(c < n_chunks_ref[b])
+    def _():
+        ef = ef_ref[...]
+        cef = cef_ref[...]
+        # gathers: cotangent at dst, state + dx-cotangent at src
+        colb = jax.lax.broadcasted_iota(jnp.int32, (c_sz, bn), 1)
+        onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
+        gm = jnp.dot(
+            onehot_dst, g_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        gms_s = gm[:, :sdp]
+        gms_v = gm[:, sdp:]
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
+        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        gathered = jnp.dot(
+            onehot_src, xwin_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        cxe = jnp.dot(
+            onehot_src, cxwin_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        gs = gathered[:, :hp]
+        gv = gathered[:, hp:]
+        cxh = cxe[:, :hp]
+        cxv = cxe[:, hp:]
+
+        # recompute forward + first-order intermediates (VMEM-only)
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+        fo = (gs * fw).astype(mm)
+        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32)
+        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32)
+        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+        dfo = (
+            jax.lax.dot_general(
+                (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                gms_s.astype(mm), ms_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+
+        # second-order terms
+        cefby = jnp.dot(cef, by_ref[...], preferred_element_type=jnp.float32)
+        r_cot = (
+            jnp.dot(cef, wf_ref[...], preferred_element_type=jnp.float32)
+            + jnp.dot(ef, cwf_ref[...], preferred_element_type=jnp.float32)
+        )
+        a_cot = (cxh * fw + r_cot * gs).astype(mm)
+        ae1 = jnp.dot(a_cot, e1_ref[...], preferred_element_type=jnp.float32)
+        ae2 = jnp.dot(a_cot, e2_ref[...], preferred_element_type=jnp.float32)
+        ams = jnp.dot(a_cot, ms_ref[...], preferred_element_type=jnp.float32)
+        u_cot = (
+            jax.lax.dot_general(
+                (cxv * gms_v).astype(mm), e1_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                (cefby * gms_v).astype(mm), e2_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dfw2 = (dfo * cxh + u_cot * gs).astype(mm)  # cotangent on fw
+        dfwr = (dfo * gs).astype(mm)  # cotangent on R (== recomputed dfw)
+
+        d2ef_ref[...] = (
+            jax.lax.dot_general(
+                dfw2, wf_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                (gms_v * ae2).astype(mm), by_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                dfwr, cwf_ref[...], contract_rhs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        d2wf_ref[...] += (
+            jax.lax.dot_general(
+                ef, dfw2, contract_lhs0, preferred_element_type=jnp.float32
+            )
+            + jax.lax.dot_general(
+                cef, dfwr, contract_lhs0, preferred_element_type=jnp.float32
+            )
+        )
+        d2xwin_ref[0] += jax.lax.dot_general(
+            onehot_src,
+            jnp.concatenate(
+                [(dfo * r_cot + u_cot * fw).astype(mm),
+                 (gms_v * ae1).astype(mm)],
+                axis=-1,
+            ),
+            contract_lhs0,
+            preferred_element_type=jnp.float32,
+        )
+        d2g_rows = jnp.concatenate(
+            [ams.astype(mm),
+             (gv * ae1 + rsh * ae2 + cxv * g1 + g2 * cefby).astype(mm)],
+            axis=-1,
+        )
+        rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
+        onehot_dst_t = (rowb == dst_ref[...][None, :]).astype(mm)
+        d2g_ref[...] += jnp.dot(
+            onehot_dst_t, d2g_rows, preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "irreps_str", "num_basis", "node_dim", "n_out", "block_nodes",
+        "chunk", "window", "max_chunks", "mm_dtype",
+    ),
+)
+def _mega_bwd2_call(
+    x_cat, edge_feat, wf_aug, g, cx, cef, cwf,
+    src2, dst2, chunk_base, n_chunks, window_starts,
+    irreps_str, num_basis, node_dim,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+):
+    """(d2x_cat, d2_edge_feat, d2_wf_aug, d2g) via the second-order
+    mega-kernel — force training's grad-of-grad without leaving Pallas."""
+    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+        irreps_str, num_basis, node_dim
+    )
+    mm = jnp.dtype(mm_dtype)
+    n_blocks = (n_out + block_nodes - 1) // block_nodes
+    xw = hp + dp
+    t_slots = edge_feat.shape[0]
+    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), jnp.float32)
+    g_pad = g_pad.at[:n_out].set(g.astype(jnp.float32))
+
+    def idx_chunk(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc, 0)
+
+    def idx_flat(b, c, *_refs):
+        cc = jnp.minimum(c, _refs[1][b] - 1)
+        return (_refs[0][b] + cc,)
+
+    const = lambda b, c, *_refs: (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks, max_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, window, xw), lambda b, c, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, xw), mm),
+            pltpu.VMEM((window, xw), mm),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    d2xwin, d2ef, d2wf, d2g = pl.pallas_call(
+        _bwd2_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, window, xw), jnp.float32),
+            jax.ShapeDtypeStruct((t_slots, F_PACK), jnp.float32),
+            jax.ShapeDtypeStruct((F_PACK, hp), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * block_nodes, sdp + dp),
+                                 jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(
+        chunk_base, n_chunks, window_starts,
+        src2, dst2,
+        edge_feat.astype(mm),
+        cef.astype(mm),
+        g_pad,
+        cwf.astype(mm),
+        wf_aug.astype(mm),
+        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
+        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        x_cat.astype(mm),
+        cx.astype(mm),
+    )
+    rows = (
+        window_starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    d2x = jax.ops.segment_sum(
+        d2xwin.reshape(-1, xw), rows, num_segments=x_cat.shape[0]
+    )
+    return (
+        d2x.astype(x_cat.dtype),
+        d2ef.astype(edge_feat.dtype),
+        d2wf.astype(wf_aug.dtype),
+        d2g[:n_out].astype(g.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (test oracle + custom-VJP backward)
 # ---------------------------------------------------------------------------
 def xla_reference(
@@ -574,6 +888,7 @@ def _fused_bwd(
             x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
             irreps_str, num_basis, node_dim,
             n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+            kernel_bwd,
         )
         return (dx, def_, dwf, None, None)
     src_g, dst_g = slot_meta[2], slot_meta[3]
@@ -592,16 +907,21 @@ def _fused_bwd(
 fused_message.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+)
 def fused_message_bwd(
     x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
     irreps_str, num_basis, node_dim,
     n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    kernel_bwd2,
 ):
     """(dx_cat, d_edge_feat, d_wf_aug) by the backward mega-kernel.
 
     Itself a custom-VJP primitive so force training (grad-of-grad) stays
-    differentiable: its own backward is the jax.vjp of the XLA backward."""
+    differentiable: with ``kernel_bwd2`` its own backward is the
+    second-order mega-kernel (`_bwd2_kernel`), otherwise the jax.vjp of
+    the XLA backward (the test oracle)."""
     src2, dst2, src_g, dst_g, cb, nc, ws = slot_meta
     return _mega_bwd_call(
         x_cat, edge_feat, wf_aug, g, src2, dst2, cb, nc, ws,
@@ -614,21 +934,33 @@ def _fmb_fwd(
     x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
     irreps_str, num_basis, node_dim,
     n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    kernel_bwd2,
 ):
     out = fused_message_bwd(
         x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask,
         irreps_str, num_basis, node_dim,
         n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+        kernel_bwd2,
     )
     return out, (x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask)
 
 
 def _fmb_bwd(
     irreps_str, num_basis, node_dim,
-    n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+    n_out, block_nodes, chunk, window, max_chunks, mm_dtype, kernel_bwd2,
     res, cot,
 ):
     x_cat, edge_feat, wf_aug, g, slot_meta, edge_mask = res
+    if kernel_bwd2:
+        src2, dst2, src_g, dst_g, cb, nc, ws = slot_meta
+        cx, cef, cwf = cot
+        dx2, def2, dwf2, dg2 = _mega_bwd2_call(
+            x_cat, edge_feat, wf_aug, g, cx, cef, cwf,
+            src2, dst2, cb, nc, ws,
+            irreps_str, num_basis, node_dim,
+            n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
+        )
+        return (dx2, def2, dwf2, dg2, None, None)
     src_g, dst_g = slot_meta[2], slot_meta[3]
 
     def xla_bwd(x, ef, wf, gg):
