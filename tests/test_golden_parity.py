@@ -157,3 +157,132 @@ def test_embedding_sh_permutation_end_to_end(rng):
     # unit geometric (-1,0,0) -> irrep (y,z,x) = (0,0,-1), x sqrt(3)
     l1_block = rsh[0, 4 : 4 + 3] / math.sqrt(3)
     np.testing.assert_allclose(l1_block, [0.0, 0.0, -1.0], atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "irr1,irr2,out,mode",
+    [
+        ("8x0e+4x1o+2x2e", "1x0e+1x1o+1x2e", "8x0e+4x1o+2x2e", "uvu"),
+        ("4x0e+4x1o", "4x0e+4x1o", "8x0e+8x1o+4x2e", "uvw"),
+        ("2x0e+2x1o+2x2e", "1x1o", "2x0e+2x1o+2x2e+2x3o", "uvv"),
+        ("3x0e+3x1o", "3x0e+3x1o", "3x0e+3x1o+3x2e", "uuu"),
+    ],
+)
+def test_feasible_tp_alphas_match_reference_formula(irr1, irr2, out, mode):
+    """get_feasible_tp path weights == an in-test re-derivation of the
+    reference algorithm (reference nn/tp.py:40-107), including its
+    global-fan quirk: the normalization denominator sums the per-path
+    fan over EVERY instruction, not just those sharing an output (the
+    inner comprehension at nn/tp.py:95 shadows `ins`)."""
+    from xequinet_tpu.ops.irreps import Irrep
+    from xequinet_tpu.ops.tensor_product import get_feasible_tp
+
+    i1, i2, fout = Irreps(irr1), Irreps(irr2), Irreps(out)
+
+    # independent re-derivation, following the reference text
+    mid: list = []
+    ins: list = []
+    for i, (m1, ir1) in enumerate(i1):
+        for j, (m2, ir2) in enumerate(i2):
+            for l3 in range(abs(ir1.l - ir2.l), ir1.l + ir2.l + 1):
+                ir3 = Irrep(l3, ir1.p * ir2.p)
+                if ir3 not in fout:
+                    continue
+                mul_out = {
+                    "uvw": fout.count(ir3), "uvu": m1, "uvv": m2,
+                    "uuu": m1,
+                }[mode]
+                key = (mul_out, ir3)
+                k = mid.index(key) if key in mid else len(mid)
+                if k == len(mid):
+                    mid.append(key)
+                ins.append((i, j, k))
+    fan = {
+        "uvw": lambda i, j: i1[i].mul * i2[j].mul,
+        "uvu": lambda i, j: i2[j].mul,
+        "uvv": lambda i, j: i1[i].mul,
+        "uuu": lambda i, j: 1,
+    }[mode]
+    x_total = sum(fan(i, j) for (i, j, _) in ins)
+    want = []
+    for (i, j, k) in ins:
+        alpha = mid[k][1].dim / x_total
+        want.append((i, j, k, math.sqrt(alpha)))
+    mid_irreps = Irreps(mid)
+    sorted_mid, perm, _ = mid_irreps.sort()
+    want = sorted(
+        [(i, j, perm[k], a) for (i, j, k, a) in want],
+        key=lambda t: (t[2], t[0], t[1]),
+    )
+
+    got_irreps, got_ins = get_feasible_tp(irr1, irr2, out, mode)
+    got = sorted(
+        [(g.i_in1, g.i_in2, g.i_out, g.path_weight) for g in got_ins],
+        key=lambda t: (t[2], t[0], t[1]),
+    )
+    assert str(got_irreps) == str(sorted_mid)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        np.testing.assert_allclose(g[3], w[3], rtol=1e-12)
+
+
+def test_o3_linear_matches_explicit_formula(rng):
+    """O3Linear == the e3nn o3.Linear semantics computed by hand from the
+    extracted parameters: per output irrep, sum over matching-irrep input
+    blocks of w[u,v] x[u,m], scaled by 1/sqrt(total fan-in); biases only
+    on even scalars (reference usage nn/xpainn.py:186-187)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xequinet_tpu.models.o3layer import O3Linear
+
+    irr_in = Irreps("6x0e+4x1o+2x2e+3x0e")
+    irr_out = Irreps("5x0e+3x1o+2x2e")
+    lin = O3Linear(irr_in, irr_out, biases=True)
+    x = rng.normal(size=(7, irr_in.dim)).astype(np.float64)
+    params = lin.init(jax.random.PRNGKey(1), jnp.asarray(x))["params"]
+    got = np.asarray(lin.apply({"params": params}, jnp.asarray(x)))
+
+    p = {k: np.asarray(v, np.float64) for k, v in params.items()}
+    sl_in = irr_in.slices()
+    want_chunks = []
+    for i_out, (mul_out, ir_out) in enumerate(irr_out):
+        paths = [
+            (i_in, mi) for i_in, mi in enumerate(irr_in) if mi.ir == ir_out
+        ]
+        fan = sum(mi.mul for _, mi in paths)
+        acc = np.zeros((x.shape[0], mul_out, ir_out.dim))
+        for i_in, mi in paths:
+            xc = x[:, sl_in[i_in]].reshape(-1, mi.mul, ir_out.dim)
+            acc += np.einsum("bum,uv->bvm", xc, p[f"w{i_out}_{i_in}"])
+        acc /= math.sqrt(fan)
+        if ir_out.l == 0 and ir_out.p == 1:
+            acc = acc + p[f"b{i_out}"][None, :, None]
+        want_chunks.append(acc.reshape(x.shape[0], -1))
+    want = np.concatenate(want_chunks, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("l", [0, 1, 2, 3])
+def test_scalar_gating_is_exact_elementwise_product(l, rng):
+    """e3nn's ElementwiseTensorProduct(scalars, irreps) reduces to an
+    exact elementwise multiply: w3j(0,l,l) = I/sqrt(2l+1) cancels the
+    component normalization sqrt(2l+1) (reference gating at
+    nn/xpainn.py:150-156).  Pins both the w3j(0,l,l) closed form and
+    scalar_gate's semantics."""
+    w = wigner_3j(0, l, l)
+    np.testing.assert_allclose(
+        w[0], np.eye(2 * l + 1) / math.sqrt(2 * l + 1), atol=1e-12
+    )
+
+    import jax.numpy as jnp
+
+    from xequinet_tpu.ops.o3ops import scalar_gate
+
+    irreps = Irreps(f"4x{l}{'e' if l % 2 == 0 else 'o'}")
+    x = rng.normal(size=(5, irreps.dim))
+    g = rng.normal(size=(5, 4))
+    got = np.asarray(scalar_gate(jnp.asarray(x), jnp.asarray(g), irreps))
+    want = (x.reshape(5, 4, 2 * l + 1) * g[:, :, None]).reshape(5, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
