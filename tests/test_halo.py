@@ -103,3 +103,49 @@ def test_comm_accounting():
     assert v["halo_exchange"] == 2 * 24 * 512 * 4
     assert v["gspmd_allreduce"] == 1024 * 512 * 4
     assert v["halo_exchange"] * 10 < v["gspmd_allreduce"]
+
+
+def test_halo_balanced_matches_single_device(model_and_params, rng):
+    """Edge-balanced partition (balance_edges=True): exact vs single
+    device on a density-skewed system, with a smaller per-shard edge
+    capacity than the equal-node split (SURVEY.md 7.3 hard part 5)."""
+    module, extra, params = model_and_params
+    # density skew: tight spacing in the first third, sparse after
+    gaps = np.concatenate([
+        rng.uniform(0.35, 0.6, size=60), rng.uniform(1.2, 1.8, size=120)
+    ])
+    x = np.cumsum(gaps)
+    pos = np.column_stack([x, rng.normal(size=(180, 2)) * 1.2])
+    z = rng.integers(1, 9, size=180).astype(np.int32)
+    ei, _ = radius_graph_np(pos, 5.0)
+    ei = ei[:, np.argsort(ei[0], kind="stable")]
+
+    batch = collate([Datapoint(z, pos, edge_index=ei)])
+    fwd = make_apply_forward(module, extra)
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref = fwd(params, b, True, False)
+    e_ref = float(np.asarray(ref[keys.TOTAL_ENERGY])[0])
+    f_ref = np.asarray(ref[keys.FORCES])[: len(z)]
+
+    mesh = make_mesh(8, axis_names=(GP_AXIS,))
+    stacked_eq, _ = halo_partition(z, pos, ei, 8, halo=40)
+    stacked_bal, geom = halo_partition(z, pos, ei, 8, halo=40,
+                                       balance_edges=True)
+    # balanced split must cut the padded edge capacity on skewed density
+    assert stacked_bal[keys.EDGE_MASK].shape[1] < stacked_eq[
+        keys.EDGE_MASK
+    ].shape[1]
+    # ... and per-shard real-edge counts must be near-uniform
+    per_shard = stacked_bal[keys.EDGE_MASK].sum(axis=1)
+    assert per_shard.max() - per_shard.min() <= per_shard.max() * 0.5 + 64
+
+    apply_bound = lambda d: module.apply({"params": params}, d)
+    halo_fwd = make_halo_forward(apply_bound, mesh, geom, GP_AXIS)
+    e, f = halo_fwd(stacked_bal, compute_forces=True)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-5, atol=1e-5)
+
+    # forces come back in padded-global order; strip per-shard padding
+    nl = geom["n_local"]
+    nm = stacked_bal[keys.NODE_MASK][:, geom["halo"] : geom["halo"] + nl]
+    f_real = np.asarray(f).reshape(8 * nl, 3)[nm.reshape(-1)]
+    np.testing.assert_allclose(f_real, f_ref, rtol=1e-4, atol=1e-5)

@@ -51,6 +51,7 @@ def halo_partition(
     n_shards: int,
     halo: int,
     cell_offsets: Optional[np.ndarray] = None,
+    balance_edges: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """Partition one large system into per-shard window subgraphs.
 
@@ -58,19 +59,53 @@ def halo_partition(
     has a leading shard axis and ``geom = {"n_local", "halo", "window"}``.
     Nodes must be ordered so that every edge's neighbor index is within
     ``halo`` rows of its center's shard range (spatial sort; asserted).
+
+    ``balance_edges`` (SURVEY.md §7.3 hard part 5): shard boundaries are
+    chosen to equalize per-shard EDGE counts instead of node counts
+    (edge work dominates; density skew otherwise idles the sparse
+    shards).  SPMD needs uniform shard geometry, so balancing keeps the
+    node order but inserts masked padding rows at the chosen boundaries —
+    every shard owns exactly ``n_local`` rows of which the leading
+    ``len_d`` are real.  The per-shard edge capacity (the padded compute)
+    drops from max-over-equal-node-shards to ~E/n_shards.
     """
     n = len(z)
-    nl = _ceil_to((n + n_shards - 1) // n_shards, 8)
-    h = _ceil_to(halo, 8)
-    cap = n_shards * nl
-    w = nl + 2 * h
-
-    zp = np.zeros(cap, dtype=z.dtype)
-    zp[:n] = z
-    pp = np.zeros((cap, 3), dtype=pos.dtype)
-    pp[:n] = pos
-
     dst, src = edge_index[0], edge_index[1]
+
+    if balance_edges and n:
+        per_node = np.bincount(dst, minlength=n)
+        cum = np.cumsum(per_node)
+        targets = np.arange(1, n_shards) * (cum[-1] / n_shards)
+        cuts = np.searchsorted(cum, targets) + 1
+        bounds = np.concatenate([[0], np.clip(cuts, 0, n), [n]])
+        bounds = np.maximum.accumulate(bounds)
+        lens = np.diff(bounds)
+        nl = _ceil_to(max(int(lens.max()), 1), 8)
+        new_index = np.full(n, -1, dtype=np.int64)
+        for d in range(n_shards):
+            new_index[bounds[d] : bounds[d + 1]] = d * nl + np.arange(
+                lens[d]
+            )
+        cap = n_shards * nl
+        zp = np.zeros(cap, dtype=z.dtype)
+        pp = np.zeros((cap, 3), dtype=pos.dtype)
+        real = np.zeros(cap, dtype=bool)
+        zp[new_index] = z
+        pp[new_index] = pos
+        real[new_index] = True
+        dst = new_index[dst]
+        src = new_index[src]
+    else:
+        nl = _ceil_to((n + n_shards - 1) // n_shards, 8)
+        cap = n_shards * nl
+        zp = np.zeros(cap, dtype=z.dtype)
+        zp[:n] = z
+        pp = np.zeros((cap, 3), dtype=pos.dtype)
+        pp[:n] = pos
+        real = np.arange(cap) < n
+
+    h = _ceil_to(halo, 8)
+    w = nl + 2 * h
     owner = dst // nl
     # per-shard edge runs (dst sorted -> owners sorted)
     counts = np.bincount(owner, minlength=n_shards)
@@ -111,7 +146,7 @@ def halo_partition(
             co[d, :k] = cell_offsets[s:e]
         lo, hi = max(base, 0), min(base + w, cap)
         zw[d, lo - base : hi - base] = zp[lo:hi]
-        nm[d, h : h + nl] = (np.arange(d * nl, (d + 1) * nl) < n)
+        nm[d, h : h + nl] = real[d * nl : (d + 1) * nl]
         pl[d] = pp[d * nl : (d + 1) * nl]
 
     batch = {

@@ -386,6 +386,7 @@ class Trainer:
         acc = MetricAccumulator()
         state = (self.params, self.opt_state, self.ema_params)
         last_loss = float("nan")
+        loss = None
         self._in_train_loop = True
         try:
             for step, raw in enumerate(self.train_loader):
@@ -412,6 +413,10 @@ class Trainer:
         finally:
             self._in_train_loop = False
         self.params, self.opt_state, self.ema_params = state
+        if loss is not None:
+            # epochs shorter than log_steps would otherwise report the
+            # nan initializer in the epoch summary
+            last_loss = float(jax.device_get(loss))
         return last_loss
 
     def validate(self) -> Dict[str, Dict[str, float]]:
