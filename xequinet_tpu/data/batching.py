@@ -187,6 +187,22 @@ def collate(
     return out
 
 
+def kernel_slot_cap(n_nodes_cap: int, n_edges_cap: int, layout: Dict[str, int]) -> int:
+    """Fixed flat-slot capacity for ``_apply_kernel_layout`` given the
+    loader's node/edge capacities: worst case every block pads its edge
+    run to a chunk boundary (and empty blocks still occupy one chunk),
+    so slots <= edges rounded up + one chunk per destination block."""
+    bn, chunk = layout["block_nodes"], layout["chunk"]
+    pad_nodes = layout["pad_nodes"]
+    window = bn + 2 * ((pad_nodes + 7) // 8) * 8
+    n_nodes = max(
+        ((n_nodes_cap + bn - 1) // bn) * bn,
+        ((window + bn - 1) // bn) * bn,
+    )
+    n_blocks = n_nodes // bn
+    return ((n_edges_cap + chunk - 1) // chunk) * chunk + n_blocks * chunk
+
+
 def _apply_kernel_layout(
     batch: Dict[str, np.ndarray], layout: Dict[str, int]
 ) -> Dict[str, np.ndarray]:
@@ -198,7 +214,12 @@ def _apply_kernel_layout(
     the XLA path and its invariants keep working on the same batch.
 
     layout: {"block_nodes": BN, "chunk": C, "pad_nodes": P,
-             "max_chunks": cap} — must match the model's pallas settings.
+             "max_chunks": cap, "slot_cap": S} — must match the model's
+    pallas settings.  ``slot_cap`` (optional) pads the flat slot arrays
+    to a fixed length so every batch of one node capacity compiles to
+    ONE program (production training / MD: densities differ per batch,
+    shapes must not).  Use ``kernel_slot_cap`` to derive it from the
+    loader capacities.
     """
     from ..ops.pallas_scatter_v2 import prepare_v2
 
@@ -240,6 +261,22 @@ def _apply_kernel_layout(
             f"kernel layout overflow: a block needs {mx} chunks > cap "
             f"{cap_chunks}; lower the batch density or raise max_chunks"
         )
+    slot_cap = layout.get("slot_cap", 0)
+    if slot_cap:
+        if len(sel) > slot_cap:
+            raise ValueError(
+                f"kernel slot overflow: {len(sel)} slots > slot_cap "
+                f"{slot_cap}; raise max_edges or slot_cap"
+            )
+        pad = slot_cap - len(sel)
+        if pad:
+            # tail slots belong to no block's chunk range (chunk_base +
+            # n_chunks never reaches them) — pad as inert masked slots
+            src2 = np.concatenate([src2, np.zeros(pad, src2.dtype)])
+            dst2 = np.concatenate(
+                [dst2, np.full(pad, bn, dst2.dtype)]
+            )
+            sel = np.concatenate([sel, np.full(pad, -1, sel.dtype)])
     total = len(sel)
     valid = sel >= 0
     safe = np.clip(sel, 0, None)

@@ -84,10 +84,24 @@ class DataLoader:
         dtype=np.float32,
         drop_oversized: bool = True,
         process_shard: Optional[Tuple[int, int]] = None,
+        kernel_layout: Optional[Dict[str, int]] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.caps = capacities or compute_capacities(dataset, batch_size)
+        # Pallas mega-kernel slot layout: fix the flat slot capacity from
+        # the bucket capacities so EVERY batch compiles to one program
+        self.kernel_layout = None
+        if kernel_layout is not None:
+            from .batching import kernel_slot_cap
+
+            self.kernel_layout = dict(kernel_layout)
+            self.kernel_layout.setdefault(
+                "slot_cap",
+                kernel_slot_cap(
+                    self.caps["n_nodes"], self.caps["n_edges"], kernel_layout
+                ),
+            )
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
@@ -135,13 +149,15 @@ class DataLoader:
                     or len(buf) + 1 >= cap_g
                 )
             ):
-                yield collate(buf, cap_n, cap_e, cap_g, dtype=self.dtype)
+                yield collate(buf, cap_n, cap_e, cap_g, dtype=self.dtype,
+                              kernel_layout=self.kernel_layout)
                 buf, used_n, used_e = [], 0, 0
             buf.append(dp)
             used_n += dp.num_atoms
             used_e += dp.num_edges
         if buf:
-            yield collate(buf, cap_n, cap_e, cap_g, dtype=self.dtype)
+            yield collate(buf, cap_n, cap_e, cap_g, dtype=self.dtype,
+                          kernel_layout=self.kernel_layout)
 
     def __len__(self) -> int:
         # upper-bound estimate (exact count depends on packing)

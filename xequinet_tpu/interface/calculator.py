@@ -44,6 +44,7 @@ class Calculator:
         max_edges: Optional[int] = None,
         use_ema: bool = True,
         compute_virial: bool = False,
+        pallas: Optional[str] = None,
     ) -> None:
         from ..run.test import load_model_from_checkpoint
 
@@ -60,6 +61,14 @@ class Calculator:
         self._params = None
         self._jitted: Dict = {}
         self.units = get_default_units()
+        # pallas="mega": run the fused Pallas message kernels on the MD
+        # hot loop (PERF.md: 1.6x fwd+forces).  Applies to non-PBC
+        # systems whose spatially sorted neighbor-index reach fits a
+        # kernel window; otherwise the call falls back to the XLA path
+        # automatically (see _mega_layout).
+        self._pallas = pallas
+        self._mc = mc
+        self._mega = None  # lazily built (apply_forward, layout) cache
 
     # ------------------------------------------------------------------
     def _capacities(self, n_atoms: int) -> Tuple[int, int]:
@@ -133,6 +142,143 @@ class Calculator:
         return self.apply_forward(self._params, data, True, self.compute_virial)
 
     # ------------------------------------------------------------------
+    # Pallas mega-kernel MD path (non-PBC, large systems)
+    # ------------------------------------------------------------------
+    def _mega_apply_forward(self, layout_t):
+        """Model rebuilt with the mega kernels for one slot layout.
+        The parameter tree is identical to the XLA module's (the kernels
+        consume the same weights), so ``self._params`` is reused."""
+        from ..models.model import resolve_model
+
+        if self._mega is None or self._mega.get("layout") != layout_t:
+            kw = dict(self._mc["model_kwargs"])
+            kw["use_pallas_scatter"] = "mega"
+            kw["pallas_layout"] = layout_t
+            module, extra, _ = resolve_model(self._mc["model_name"], **kw)
+            self._mega = {
+                "layout": layout_t,
+                "apply": make_apply_forward(module, extra),
+            }
+        return self._mega["apply"]
+
+    def _calculate_mega(
+        self, atomic_numbers, positions, ei, n, n_cap, e_cap,
+        charge, spin,
+    ):
+        """One non-PBC evaluation through the mega kernels, or None when
+        the system doesn't fit the kernel's banded-window contract.
+
+        Atoms are sorted along the longest bounding-box axis so neighbor
+        index reach is bounded by the cutoff slab population; the window
+        half-width (pad_nodes) is fixed with a 25% margin at first call
+        and grown (recompile) if a later geometry exceeds it.  Small
+        systems (< 1024-atom capacity / < 4096-edge capacity) and
+        window >= system degenerate cases stay on the XLA path — there
+        the kernel has no bandwidth advantage.
+        """
+        from ..data.batching import _apply_kernel_layout, kernel_slot_cap
+
+        if n_cap < 1024 or e_cap < 4096 or n < 2:
+            return None
+        axis = int(np.argmax(positions.max(0) - positions.min(0)))
+        perm = np.argsort(positions[:, axis], kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[perm] = np.arange(n)
+        ne = ei.shape[1]
+        if ne > e_cap:
+            raise ValueError(f"edge overflow {ne} > {e_cap}")
+        dst = rank[ei[0]]
+        src = rank[ei[1]]
+        reach = int(np.abs(dst - src).max()) if ne else 0
+
+        bn = 512 if n_cap >= 2048 else 256
+        chunk = 1024  # Mosaic: 1-D int32 blocks must be 1024-wide
+        pad = ((int(reach * 1.25) + 15) // 8) * 8
+        prev = self._mega.get("geom") if self._mega else None
+        if prev and prev["bn"] == bn and prev["pad"] >= pad:
+            pad = prev["pad"]  # keep shapes stable across MD steps
+        window = bn + 2 * pad
+        n_padded = max(
+            ((n_cap + bn - 1) // bn) * bn,
+            ((window + bn - 1) // bn) * bn,
+        )
+        if window >= n_padded:
+            return None  # windows would cover everything: XLA path wins
+
+        order = np.argsort(dst, kind="stable")
+        edge_index = np.zeros((2, e_cap), dtype=np.int32)
+        edge_index[0, :ne] = dst[order]
+        edge_index[1, :ne] = src[order]
+        edge_index[:, ne:] = n_cap - 1
+        edge_mask = np.arange(e_cap) < ne
+
+        z_s = np.zeros(n_cap, dtype=np.int32)
+        z_s[:n] = atomic_numbers[perm]
+        pos_s = np.zeros((n_cap, 3), dtype=np.float32)
+        pos_s[:n] = positions[perm]
+        batch = {
+            keys.ATOMIC_NUMBERS: z_s,
+            keys.POSITIONS: pos_s,
+            keys.BATCH: np.where(np.arange(n_cap) < n, 0, 1).astype(np.int32),
+            keys.NODE_MASK: np.arange(n_cap) < n,
+            keys.GRAPH_MASK: np.array([True, False]),
+            keys.NUM_ATOMS: np.array([n, 0], dtype=np.int32),
+            keys.BATCH_PTR: np.array([0, n, n], dtype=np.int32),
+            keys.EDGE_INDEX: edge_index,
+            keys.EDGE_MASK: edge_mask,
+        }
+        if charge is not None:
+            batch[keys.TOTAL_CHARGE] = np.array([charge, 0], dtype=np.int32)
+        if spin is not None:
+            batch[keys.TOTAL_SPIN] = np.array([spin, 0], dtype=np.int32)
+
+        layout = {
+            "block_nodes": bn, "chunk": chunk, "pad_nodes": pad,
+            "max_chunks": 0,
+            "slot_cap": kernel_slot_cap(n_cap, e_cap, {
+                "block_nodes": bn, "chunk": chunk, "pad_nodes": pad,
+            }),
+        }
+        try:
+            batch = _apply_kernel_layout(batch, layout)
+        except ValueError:
+            return None  # e.g. a source outside its window: XLA path
+        mx = int(batch[keys.K_NCHUNKS].max())
+        mx_cap = prev["mx"] if (prev and prev["mx"] >= mx) else mx + max(
+            2, mx // 4
+        )
+        layout_t = (bn, chunk, pad, mx_cap)
+
+        self._ensure_params(batch)
+        apply_mega = self._mega_apply_forward(layout_t)
+        self._mega["geom"] = {"bn": bn, "pad": pad, "mx": mx_cap}
+
+        key = ("mega", layout_t, n_cap, e_cap,
+               charge is not None, spin is not None)
+        if key not in self._jitted:
+            cv = self.compute_virial
+
+            def eval_mega(data):
+                return apply_mega(self._params, data, True, cv)
+
+            self._jitted[key] = jax.jit(eval_mega)
+        out = self._jitted[key]({k: jnp.asarray(v) for k, v in batch.items()})
+        out = jax.device_get(out)
+
+        result = {
+            keys.TOTAL_ENERGY: float(np.asarray(out[keys.TOTAL_ENERGY])[0]),
+        }
+        for k in (keys.FORCES, keys.ATOMIC_CHARGES, keys.ATOMIC_ENERGIES):
+            if k in out:
+                sorted_vals = np.asarray(out[k])[:n]
+                unsorted = np.empty_like(sorted_vals)
+                unsorted[perm] = sorted_vals
+                result[k] = unsorted
+        if self.compute_virial and keys.VIRIAL in out:
+            result[keys.VIRIAL] = np.asarray(out[keys.VIRIAL])[0]
+        return result
+
+    # ------------------------------------------------------------------
     def calculate(
         self,
         atomic_numbers: np.ndarray,
@@ -189,6 +335,13 @@ class Calculator:
             from ..ops.radius_graph import radius_graph_np
 
             ei, _ = radius_graph_np(positions, self.cutoff)
+            if self._pallas == "mega":
+                res = self._calculate_mega(
+                    np.asarray(atomic_numbers), np.asarray(positions),
+                    ei, n, n_cap, e_cap, charge, spin,
+                )
+                if res is not None:
+                    return res
             ne = min(ei.shape[1], e_cap)
             edge_index = np.zeros((2, e_cap), dtype=np.int32)
             edge_index[:, :ne] = ei[:, :ne]

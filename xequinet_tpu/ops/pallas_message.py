@@ -490,6 +490,12 @@ def _mega_bwd_call(
     dx = jax.ops.segment_sum(
         dxwin.reshape(-1, xw), rows, num_segments=x_cat.shape[0]
     )
+    # slots past the covered chunk ranges (fixed slot_cap batches) are
+    # never written by the kernel — zero them instead of returning
+    # uninitialized memory (chunk coverage is contiguous by construction)
+    n_cov = chunk * (chunk_base[-1] + n_chunks[-1])
+    cov = jnp.arange(t_slots, dtype=jnp.int32) < n_cov
+    d_ef = jnp.where(cov[:, None], d_ef, 0.0)
     return (
         dx.astype(x_cat.dtype),
         d_ef.astype(edge_feat.dtype),
@@ -803,6 +809,10 @@ def _mega_bwd2_call(
     d2x = jax.ops.segment_sum(
         d2xwin.reshape(-1, xw), rows, num_segments=x_cat.shape[0]
     )
+    # see _mega_bwd_call: uncovered tail slots hold uninitialized memory
+    n_cov = chunk * (chunk_base[-1] + n_chunks[-1])
+    cov = jnp.arange(t_slots, dtype=jnp.int32) < n_cov
+    d2ef = jnp.where(cov[:, None], d2ef, 0.0)
     return (
         d2x.astype(x_cat.dtype),
         d2ef.astype(edge_feat.dtype),

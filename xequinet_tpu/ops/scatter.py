@@ -16,25 +16,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# When set, edge->node aggregations (scope="edges") are partial sums over a
-# sharded edge set and get psum'd over this mesh axis — the core of the
-# edge-parallel large-graph path (parallel/edge_partition.py, SURVEY.md §5.7).
-_EDGE_PSUM_AXIS: contextvars.ContextVar = contextvars.ContextVar(
-    "edge_psum_axis", default=None
-)
-
-
-@contextlib.contextmanager
-def edge_parallel(axis_name: str):
-    """Trace-time context: segment sums tagged scope="edges" become
-    psum-reduced partial aggregations over the given mesh axis."""
-    token = _EDGE_PSUM_AXIS.set(axis_name)
-    try:
-        yield
-    finally:
-        _EDGE_PSUM_AXIS.reset(token)
-
-
 # When set, edge->node aggregations refresh their halo rows by boundary
 # ppermute instead of a full psum — the explicit halo-exchange domain
 # decomposition (parallel/halo.py, SURVEY.md §5.7 north star).  Spec:
@@ -98,9 +79,6 @@ def segment_sum(
         src, index, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
-    axis = _EDGE_PSUM_AXIS.get()
-    if scope == "edges" and axis is not None:
-        out = jax.lax.psum(out, axis)
     spec = _HALO_SPEC.get()
     if scope == "edges" and spec is not None:
         out = _halo_refresh(out, *spec)

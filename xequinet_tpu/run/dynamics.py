@@ -316,7 +316,8 @@ def run_md(config: MDConfig, logger=None) -> MDState:
         str(st.get("name", "nve")).lower() for st in (config.ensembles or [])
     ]
     needs_virial = any("npt" in n for n in stage_names)
-    calc = Calculator(config.model_file, compute_virial=needs_virial)
+    calc = Calculator(config.model_file, compute_virial=needs_virial,
+                      pallas=config.pallas)
     ff = ForceField(
         calc, dp.atomic_numbers,
         cell=dp.cell if dp.has_cell else None,

@@ -41,6 +41,18 @@ class InferenceEngine:
         self._use_ema = use_ema
         self._params = None
         self._jitted: Dict = {}
+        # checkpoints trained with the mega kernels keep them at inference:
+        # batches carry the slot layout (falls back to plain collate when a
+        # structure exceeds the kernel window)
+        self._kernel_layout = None
+        if mc["model_kwargs"].get("use_pallas_scatter") in ("mega", "mega-xb"):
+            bn, chunk, pad_nodes, max_chunks = mc["model_kwargs"].get(
+                "pallas_layout", (256, 1024, 32, 8)
+            )
+            self._kernel_layout = {
+                "block_nodes": bn, "chunk": chunk,
+                "pad_nodes": pad_nodes, "max_chunks": max_chunks,
+            }
 
     def _get_params(self, sample_batch):
         if self._params is None:
@@ -60,7 +72,22 @@ class InferenceEngine:
         compute_virial: bool = False,
     ) -> List[Dict[str, np.ndarray]]:
         dps = [self.transform(dp) for dp in dps]
-        batch = collate(dps)
+        batch = None
+        if self._kernel_layout is not None:
+            from ..data.batching import kernel_slot_cap
+
+            n_cap = bucket_capacity(sum(d.num_atoms for d in dps))
+            e_cap = bucket_capacity(max(sum(d.num_edges for d in dps), 1))
+            layout = dict(self._kernel_layout)
+            layout["slot_cap"] = kernel_slot_cap(n_cap, e_cap, layout)
+            try:
+                batch = collate(
+                    dps, n_cap, e_cap, len(dps) + 1, kernel_layout=layout
+                )
+            except ValueError:  # structure exceeds the kernel window
+                batch = None
+        if batch is None:
+            batch = collate(dps)
         params = self._get_params(batch)
         shape_key = (
             batch[keys.POSITIONS].shape[0],

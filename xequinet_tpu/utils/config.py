@@ -101,6 +101,9 @@ class MDConfig:
     dtype: str = "float32"
     device: Optional[str] = None
     seed: Optional[int] = None
+    # "mega": fused Pallas message kernels on the MD hot loop (non-PBC
+    # systems with bounded sorted-neighbor reach; automatic XLA fallback)
+    pallas: Optional[str] = None
 
 
 def _merge_into(obj: Any, data: Dict[str, Any], path: str = "") -> Any:
