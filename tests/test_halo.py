@@ -127,8 +127,11 @@ def test_halo_balanced_matches_single_device(model_and_params, rng):
     e_ref = float(np.asarray(ref[keys.TOTAL_ENERGY])[0])
     f_ref = np.asarray(ref[keys.FORCES])[: len(z)]
 
+    # per-shard edge counts are halo-independent, so each partition uses
+    # the halo its own geometry admits (halo <= n_local, and balancing
+    # inserts boundary padding that widens cross-boundary index reach)
     mesh = make_mesh(8, axis_names=(GP_AXIS,))
-    stacked_eq, _ = halo_partition(z, pos, ei, 8, halo=40)
+    stacked_eq, _ = halo_partition(z, pos, ei, 8, halo=24)
     stacked_bal, geom = halo_partition(z, pos, ei, 8, halo=40,
                                        balance_edges=True)
     # balanced split must cut the padded edge capacity on skewed density
@@ -149,3 +152,79 @@ def test_halo_balanced_matches_single_device(model_and_params, rng):
     nm = stacked_bal[keys.NODE_MASK][:, geom["halo"] : geom["halo"] + nl]
     f_real = np.asarray(f).reshape(8 * nl, 3)[nm.reshape(-1)]
     np.testing.assert_allclose(f_real, f_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_train_step_matches_single_device(model_and_params, rng):
+    """One optimizer step on a halo-decomposed large system == the same
+    step computed on a single device over the whole system: identical
+    loss and identical updated parameters (SURVEY.md §5.7 — training,
+    not just inference, over the domain decomposition)."""
+    import optax
+
+    from xequinet_tpu.models.properties import compute_edge_data
+    from xequinet_tpu.parallel.halo import make_halo_train_step
+
+    module, extra, params = model_and_params
+    z, pos, ei = _chain_system(rng, n=160)
+    n = len(z)
+    e_label = float(rng.normal()) * 5.0
+    f_label = rng.normal(size=(n, 3)).astype(np.float32)
+
+    # --- single-device reference loss/grads over the whole system ---
+    batch = collate([Datapoint(z, pos, edge_index=ei)])
+    data0 = {k: jnp.asarray(v) for k, v in batch.items()}
+    wE, wF = 1.0, 10.0
+
+    def ref_loss(p):
+        def energy_of(pp):
+            d = dict(data0)
+            d[keys.POSITIONS] = pp
+            d = compute_edge_data(d, None)
+            out = module.apply({"params": p}, d)
+            return jnp.sum(
+                jnp.where(d[keys.GRAPH_MASK], out[keys.TOTAL_ENERGY], 0.0)
+            )
+
+        e, g = jax.value_and_grad(energy_of)(data0[keys.POSITIONS])
+        forces = -g
+        nm = data0[keys.NODE_MASK]
+        sq = jnp.where(
+            nm[:, None], (forces[: nm.shape[0]] - jnp.asarray(
+                np.pad(f_label, ((0, nm.shape[0] - n), (0, 0)))
+            )) ** 2, 0.0,
+        )
+        return wE * (e - e_label) ** 2 + wF * jnp.sum(sq) / (3.0 * n)
+
+    optimizer = optax.sgd(1e-4)
+    loss_ref, grads_ref = jax.value_and_grad(
+        lambda p: ref_loss(p)
+    )(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    # --- halo train step over the 8-device mesh ---
+    mesh = make_mesh(8, axis_names=(GP_AXIS,))
+    stacked, geom = halo_partition(z, pos, ei, 8, halo=16)
+    nl, h = geom["n_local"], geom["halo"]
+    f_stacked = np.zeros((8, nl, 3), dtype=np.float32)
+    f_pad = np.zeros((8 * nl, 3), dtype=np.float32)
+    f_pad[:n] = f_label
+    f_stacked[:] = f_pad.reshape(8, nl, 3)
+
+    step = make_halo_train_step(
+        lambda p, d: module.apply({"params": p}, d), mesh, geom,
+        optimizer, energy_weight=wE, forces_weight=wF,
+    )
+    state = (params, optimizer.init(params))
+    (params_new, _), loss = step(
+        state, stacked, jnp.asarray(e_label), jnp.asarray(f_stacked)
+    )
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_new),
+        jax.tree_util.tree_leaves(params_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )

@@ -6,7 +6,7 @@ from .data_parallel import (
     stack_device_batches,
 )
 from .edge_partition import make_edge_parallel_forward, shard_batch
-from .halo import halo_partition, make_halo_forward
+from .halo import halo_partition, make_halo_forward, make_halo_train_step
 from .mesh import DP_AXIS, GP_AXIS, make_mesh
 
 __all__ = [
@@ -14,5 +14,5 @@ __all__ = [
     "make_dp_train_step", "make_dp_eval_step", "replicate",
     "stack_device_batches", "device_put_sharded_batch",
     "make_edge_parallel_forward", "shard_batch",
-    "halo_partition", "make_halo_forward",
+    "halo_partition", "make_halo_forward", "make_halo_train_step",
 ]

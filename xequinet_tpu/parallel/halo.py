@@ -28,6 +28,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -105,6 +106,13 @@ def halo_partition(
         real = np.arange(cap) < n
 
     h = _ceil_to(halo, 8)
+    if h > nl:
+        raise ValueError(
+            f"halo {h} exceeds n_local {nl}: the boundary exchange fills "
+            f"halo rows from the ADJACENT shard only "
+            f"(parallel/halo.py:_exchange_window), so a halo wider than a "
+            f"shard silently truncates — use fewer shards or a smaller halo"
+        )
     w = nl + 2 * h
     owner = dst // nl
     # per-shard edge runs (dst sorted -> owners sorted)
@@ -250,6 +258,96 @@ def make_halo_forward(
         return j_fe(pos, data), None
 
     return forward
+
+
+def make_halo_train_step(
+    module_apply: Callable[[Dict, DataDict], DataDict],
+    mesh: Mesh,
+    geom: Dict[str, int],
+    optimizer,
+    energy_weight: float = 1.0,
+    forces_weight: float = 10.0,
+    axis: str = GP_AXIS,
+):
+    """Training ON one large halo-decomposed system (SURVEY.md §5.7):
+    ``step(state, stacked_batch, e_label, f_label_stacked) ->
+    (state, loss)`` where ``state = (params, opt_state)``.
+
+    The loss is the global energy squared error plus the mean squared
+    force error over owned real atoms.  Per step, each shard
+    differentiates the replicated loss through ITS local contributions
+    (forces themselves are an inner grad wrt positions, so this is
+    grad-of-grad through the boundary ``ppermute``s — their transposes
+    are ppermutes again and XLA schedules them on ICI), and the optimizer
+    consumes the ``psum`` of the shard gradients — the same update a
+    single device computing the whole system would apply
+    (tests/test_halo.py::test_halo_train_step_matches_single_device).
+
+    The reference has no analogue: its training path is
+    molecule-batched only (reference run/train.py), and systems beyond
+    one GPU's memory are untrainable there.
+    """
+    nl, h = geom["n_local"], geom["halo"]
+    size = int(mesh.shape[axis])
+
+    def local_loss(params, pos_local, static_data, e_label, f_label):
+        def local_energy(p_loc):
+            win = _exchange_window(p_loc, axis, size, nl, h)
+            d = dict(static_data)
+            d[keys.POSITIONS] = win
+            d = compute_edge_data(d, None)
+            with halo_parallel(axis, size, nl, h):
+                out = module_apply(params, d)
+            return jnp.sum(out[keys.TOTAL_ENERGY])
+
+        e_local, g_pos = jax.value_and_grad(local_energy)(pos_local)
+        forces = -g_pos  # [nl, 3], exact per owned row
+        energy = jax.lax.psum(e_local, axis)
+        mask = static_data[keys.NODE_MASK][h : h + nl]
+        n_real = jax.lax.psum(jnp.sum(mask), axis)
+        sq = jnp.where(mask[:, None], (forces - f_label) ** 2, 0.0)
+        loss_f = jax.lax.psum(jnp.sum(sq), axis) / (3.0 * n_real)
+        loss_e = (energy - e_label) ** 2
+        return energy_weight * loss_e + forces_weight * loss_f
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sharded_grads(params, pos_stacked, data_stacked, e_label, f_stacked):
+        local = {k: v[0] for k, v in data_stacked.items()}
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, pos_stacked[0], local, e_label, f_stacked[0]
+        )
+        # Each shard differentiates the replicated loss through its own
+        # local contributions, but with ``check_vma=False`` the replicated
+        # output seeds a unit cotangent on EVERY shard — so the per-shard
+        # partial gradients come out scaled by the axis size, and their
+        # pmean (not psum) is the exact total gradient.  Locked against
+        # the single-device gradient in
+        # tests/test_halo.py::test_halo_train_step_matches_single_device.
+        return loss, jax.lax.pmean(grads, axis)
+
+    @jax.jit
+    def step(state, stacked_batch, e_label, f_label_stacked):
+        params, opt_state = state
+        data = {
+            k: jnp.asarray(v)
+            for k, v in stacked_batch.items()
+            if k != keys.POSITIONS
+        }
+        pos = jnp.asarray(stacked_batch[keys.POSITIONS])
+        loss, grads = sharded_grads(
+            params, pos, data, e_label, f_label_stacked
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    return step
 
 
 def comm_bytes_per_block(
