@@ -286,3 +286,115 @@ def test_scalar_gating_is_exact_elementwise_product(l, rng):
     got = np.asarray(scalar_gate(jnp.asarray(x), jnp.asarray(g), irreps))
     want = (x.reshape(5, 4, 2 * l + 1) * g[:, :, None]).reshape(5, -1)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("l", [0, 1, 2, 3, 4])
+def test_w3j_llo_is_positive_identity(l):
+    """w3j(l,l,0)[m,m',0] == +delta_{mm'} / sqrt(2l+1).
+
+    The SIGN is a load-bearing convention: the reference's Invariant
+    (nn/o3layer.py:11-44) takes sqrt of the uuu self-product, so e3nn's
+    real-basis w3j(l,l,0) must be positive for every l — a negative
+    coupling would NaN it."""
+    from xequinet_tpu.ops.wigner import wigner_3j
+
+    w = np.asarray(wigner_3j(l, l, 0))[:, :, 0]
+    np.testing.assert_allclose(
+        w, np.eye(2 * l + 1) / math.sqrt(2 * l + 1), atol=1e-12
+    )
+
+
+def test_invariant_dot_closed_form(rng):
+    """Invariant / EquivariantDot == the closed forms the reference's uuu
+    component-normalized TensorProduct reduces to (nn/o3layer.py:11-109):
+    dot_u = sum_m x1[u,m] x2[u,m] / sqrt(2l+1);
+    inv_u = sqrt(dot_uu + eps^2) - eps."""
+    from xequinet_tpu.ops.o3ops import equivariant_dot, invariant
+
+    irr = Irreps("3x0e+2x1o+2x2e")
+    x1 = rng.normal(size=(5, irr.dim))
+    x2 = rng.normal(size=(5, irr.dim))
+    got_dot = np.asarray(equivariant_dot(x1, x2, irr))
+    want = []
+    off = 0
+    for mul, ir in irr:
+        d = ir.dim
+        a = x1[:, off : off + mul * d].reshape(5, mul, d)
+        b = x2[:, off : off + mul * d].reshape(5, mul, d)
+        want.append((a * b).sum(-1) / math.sqrt(d))
+        off += mul * d
+    want = np.concatenate(want, axis=-1)
+    np.testing.assert_allclose(got_dot, want, rtol=1e-6, atol=1e-7)
+
+    eps = 1e-5
+    got_inv = np.asarray(invariant(x1, irr, eps=eps))
+    want_inv = np.sqrt(
+        np.concatenate(
+            [
+                (x1[:, o : o + m * (2 * l_ + 1)].reshape(5, m, -1) ** 2).sum(-1)
+                / math.sqrt(2 * l_ + 1)
+                for (o, m, l_) in _irrep_offsets(irr)
+            ],
+            axis=-1,
+        )
+        + eps * eps
+    ) - eps
+    np.testing.assert_allclose(got_inv, want_inv, rtol=1e-6, atol=1e-7)
+
+
+def _irrep_offsets(irr):
+    off = 0
+    out = []
+    for mul, ir in irr:
+        out.append((off, mul, ir.l))
+        off += mul * ir.dim
+    return out
+
+
+def test_equivariant_layer_norm_matches_reference_math(rng):
+    """EquivariantLayerNorm == an independent numpy transcription of the
+    reference forward (nn/o3layer.py:112-171): mean-center the 0e
+    channels, divide by 1/sqrt(mean_u(inv_sq_u) + eps), per-irrep affine
+    weight via elementwise 0e product, bias on 0e channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from xequinet_tpu.models.o3layer import EquivariantLayerNorm
+
+    irr = Irreps("4x0e+3x1o+2x2e")
+    x = rng.normal(size=(6, irr.dim))
+    ln = EquivariantLayerNorm(irreps=irr)
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    # non-trivial affine parameters
+    params = {
+        "weight": jnp.asarray(rng.normal(size=irr.num_irreps) * 0.5 + 1.0),
+        "bias": jnp.asarray(rng.normal(size=4) * 0.1),
+    }
+    got = np.asarray(ln.apply({"params": params}, jnp.asarray(x)))
+
+    w = np.asarray(params["weight"], np.float64)
+    b = np.asarray(params["bias"], np.float64)
+    eps = 1e-5
+    xs = x.astype(np.float64).copy()
+    # scalar (0e) channels are the first 4 columns here
+    xs[:, :4] -= xs[:, :4].mean(axis=1, keepdims=True)
+    inv_sq = []
+    for (o, m, l_) in _irrep_offsets(irr):
+        d = 2 * l_ + 1
+        inv_sq.append(
+            (xs[:, o : o + m * d].reshape(6, m, d) ** 2).sum(-1)
+            / math.sqrt(d)
+        )
+    inv_sq = np.concatenate(inv_sq, axis=-1)  # [6, num_irreps]
+    rms_inv = 1.0 / np.sqrt(inv_sq.mean(axis=1, keepdims=True) + eps)
+    xs = xs * rms_inv
+    # per-irrep affine weight, expanded over m components
+    w_exp = []
+    k = 0
+    for (o, m, l_) in _irrep_offsets(irr):
+        d = 2 * l_ + 1
+        w_exp.append(np.repeat(w[k : k + m], d))
+        k += m
+    xs = xs * np.concatenate(w_exp)[None, :]
+    xs[:, :4] += b[None, :]
+    np.testing.assert_allclose(got, xs, rtol=1e-5, atol=1e-6)
