@@ -431,3 +431,34 @@ def test_resume_restores_stopper(tmp_path, rng):
         tgt.num_bad = st.get("num_bad", tgt.num_bad)
     assert fresh.stoppings["energy"].best == 0.9
     assert fresh.stoppings["energy"].num_bad == 2
+
+
+def test_read_structures_and_opt_params(mini_ckpt, tmp_path, rng):
+    """`--format` reads via the built-in extxyz path (ASE formats delegate
+    to ase.io when installed) and `--opt-params` JSON reaches scipy
+    L-BFGS-B (reference main.py --format / --opt-params)."""
+    import json
+
+    from xequinet_tpu.data.fmt_conversion import read_structures, write_xyz
+    from xequinet_tpu.run.geometry import run_opt
+
+    z = np.array([1, 8, 1], dtype=np.int32)
+    pos = np.array([[0.0, 0.76, -0.48], [0.0, 0.0, 0.1],
+                    [0.0, -0.76, -0.48]])
+    xyz = tmp_path / "w.xyz"
+    write_xyz(str(xyz), [Datapoint(z, pos)])
+
+    dps = read_structures(str(xyz))  # extension-based
+    assert len(dps) == 1 and dps[0].num_atoms == 3
+    dps = read_structures(str(xyz), "extxyz")  # explicit built-in format
+    assert len(dps) == 1
+    with pytest.raises(Exception):  # ASE formats need ase installed
+        read_structures(str(xyz), "vasp")
+
+    params_file = tmp_path / "optp.json"
+    params_file.write_text(json.dumps({"maxls": 5}))
+    res = run_opt(
+        mini_ckpt, str(xyz), max_steps=3, input_format="xyz",
+        opt_params=str(params_file),
+    )
+    assert len(res) == 1 and np.isfinite(res[0]["energy"])

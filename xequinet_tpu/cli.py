@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     p_infer.add_argument("--stress", action="store_true")
     p_infer.add_argument("--delta", "-d", default=None, help="xTB delta method")
     p_infer.add_argument("--batch-size", "-b", type=int, default=16)
+    p_infer.add_argument("--format", default=None,
+                         help="input format (built-in extxyz or any ASE format)")
 
     p_opt = sub.add_parser("opt", help="geometry optimization")
     p_opt.add_argument("--ckpt", "-c", required=True)
@@ -54,6 +56,10 @@ def main(argv=None) -> int:
                        help="write a shermo input file alongside --freq")
     p_opt.add_argument("--save-hessian", action="store_true",
                        help="save the [3N,3N] Hessian (eV/A^2) to <input>_h.txt")
+    p_opt.add_argument("--format", default=None,
+                       help="input format (built-in extxyz or any ASE format)")
+    p_opt.add_argument("--opt-params", dest="opt_params", default=None,
+                       help="JSON file of extra L-BFGS-B options")
     p_opt.add_argument("--no-opt", action="store_true",
                        help="skip optimization (frequencies at the input geometry)")
 

@@ -148,6 +148,34 @@ def write_xyz(
 # ---------------------------------------------------------------------------
 
 
+def read_structures(
+    path: Union[str, Path], fmt: Optional[str] = None
+) -> List[Datapoint]:
+    """Read structures with an optional explicit format.
+
+    xyz/extxyz (or no format given for a .xyz path) use the built-in
+    reader; any other format is delegated to ``ase.io.read`` (requires
+    ase), mirroring the reference's ``--format`` CLI flag
+    (/root/reference/xequinet/main.py "Input format for ASE")."""
+    p = str(path)
+    if fmt in (None, "xyz", "extxyz") and (
+        fmt is not None or p.endswith(".xyz") or p.endswith(".extxyz")
+    ):
+        return read_xyz(path)
+    if fmt is None:
+        # unknown extension: try the built-in reader, then ASE
+        try:
+            return read_xyz(path)
+        except Exception:
+            pass
+    from ase import io as ase_io
+
+    atoms_list = ase_io.read(p, index=":", format=fmt)
+    if not isinstance(atoms_list, list):
+        atoms_list = [atoms_list]
+    return [datapoint_from_ase(a) for a in atoms_list]
+
+
 def datapoint_from_ase(atoms) -> Datapoint:
     """ASE Atoms -> Datapoint (requires ase)."""
     kw = {}

@@ -19,7 +19,7 @@ import numpy as np
 
 from .. import keys
 from ..data.datapoint import Datapoint
-from ..data.fmt_conversion import read_xyz, write_xyz
+from ..data.fmt_conversion import read_structures, read_xyz, write_xyz
 from ..interface.calculator import Calculator
 from ..utils.config import MDConfig, load_md_config
 from ..utils.logger import ZeroLogger
@@ -308,7 +308,7 @@ ENSEMBLE_FACTORY = {
 def run_md(config: MDConfig, logger=None) -> MDState:
     logger = logger or ZeroLogger(config.logfile)
     rng = np.random.default_rng(config.seed or 0)
-    frames = read_xyz(config.input_file)
+    frames = read_structures(config.input_file, config.input_format)
     dp = frames[0]
     masses = ATOM_MASS[dp.atomic_numbers]
 

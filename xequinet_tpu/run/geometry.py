@@ -17,7 +17,7 @@ import numpy as np
 
 from .. import keys
 from ..data.datapoint import Datapoint
-from ..data.fmt_conversion import read_xyz, write_xyz
+from ..data.fmt_conversion import read_structures, read_xyz, write_xyz
 from ..interface.calculator import Calculator
 from ..utils.logger import ZeroLogger
 from ..utils.qc import ATOM_MASS, unit_conversion
@@ -81,6 +81,7 @@ def optimize(
     fmax: float = 0.05,
     frozen: Optional[np.ndarray] = None,
     logger=None,
+    options: Optional[Dict] = None,
 ) -> Tuple[np.ndarray, float, bool]:
     """L-BFGS-B over flattened coordinates; converges when max |F| < fmax
     (eV/A) over the free atoms.  ``frozen`` pins atoms via coordinate
@@ -120,7 +121,8 @@ def optimize(
         method="L-BFGS-B",
         callback=cb,
         bounds=bounds,
-        options={"maxiter": max_steps, "gtol": fmax * 0.01},
+        options={"maxiter": max_steps, "gtol": fmax * 0.01,
+                 **(options or {})},
     )
     pos = res.x.reshape(-1, 3)
     e, f = ff(pos)
@@ -258,11 +260,21 @@ def run_opt(
     shermo: bool = False,
     save_hessian: bool = False,
     no_opt: bool = False,
+    input_format: Optional[str] = None,
+    opt_params: Optional[str] = None,
     logger=None,
 ) -> List[Dict]:
     logger = logger or ZeroLogger()
     calc = Calculator(ckpt_file)
-    frames = read_xyz(input_file)
+    frames = read_structures(input_file, input_format)
+    # extra scipy L-BFGS-B options from a JSON file (the reference's
+    # --opt-params geomeTRIC pass-through, main.py/run/geometry.py:184-207)
+    opt_options = None
+    if opt_params:
+        import json
+
+        with open(opt_params) as f:
+            opt_options = json.load(f)
     results = []
     opt_frames, opt_energies = [], []
     stem = input_file.rsplit(".", 1)[0]
@@ -296,7 +308,8 @@ def run_opt(
             converged = True
         else:
             pos, e, converged = optimize(
-                ff, dp.pos, max_steps, fmax, frozen=frozen, logger=logger
+                ff, dp.pos, max_steps, fmax, frozen=frozen, logger=logger,
+                options=opt_options,
             )
         entry = {"energy": e, "converged": converged, "positions": pos}
         if freq:
@@ -347,6 +360,8 @@ def run_opt_from_args(args) -> None:
         temperature=getattr(args, "temp", 298.15),
         delta_method=getattr(args, "delta", None),
         constraints=getattr(args, "constraints", None),
+        input_format=getattr(args, "format", None),
+        opt_params=getattr(args, "opt_params", None),
         shermo=getattr(args, "shermo", False),
         save_hessian=getattr(args, "save_hessian", False),
         no_opt=getattr(args, "no_opt", False),

@@ -18,7 +18,7 @@ import numpy as np
 from .. import keys
 from ..data.batching import bucket_capacity, collate
 from ..data.datapoint import Datapoint
-from ..data.fmt_conversion import read_xyz
+from ..data.fmt_conversion import read_structures, read_xyz
 from ..data.transforms import NeighborTransform
 from ..models.model import init_params, make_apply_forward
 from ..training.trainer import restore_params
@@ -157,6 +157,7 @@ def _delta_correction(dp: Datapoint, result: Dict[str, np.ndarray], method: str)
 def run_infer(
     ckpt_file: str,
     input_file: str,
+    input_format: Optional[str] = None,
     output_file: Optional[str] = None,
     compute_forces: bool = True,
     compute_virial: bool = False,
@@ -166,7 +167,7 @@ def run_infer(
 ) -> List[Dict[str, np.ndarray]]:
     logger = logger or ZeroLogger()
     engine = InferenceEngine(ckpt_file)
-    dps = read_xyz(input_file)
+    dps = read_structures(input_file, input_format)
     logger.info(f"read {len(dps)} structures from {input_file}")
 
     all_results: List[Dict[str, np.ndarray]] = []
@@ -205,6 +206,7 @@ def run_infer_from_args(args) -> None:
     run_infer(
         args.ckpt,
         args.input,
+        input_format=getattr(args, "format", None),
         output_file=getattr(args, "output", None),
         compute_forces=getattr(args, "forces", False),
         compute_virial=getattr(args, "stress", False),
