@@ -204,3 +204,46 @@ def test_calculator_mega_matches_xla(tmp_path, rng):
         np.testing.assert_allclose(
             a[keys.FORCES], b[keys.FORCES], rtol=1e-3, atol=2e-4
         )
+
+
+def test_run_train_mega_on_dp_mesh(tmp_path, rng):
+    """The production multi-chip config: dp mesh x mega kernels. The
+    ReplicaBatcher stacks fixed-slot-capacity micro-batches and the
+    shard_map train step runs the kernels per device."""
+    import jax as _jax
+
+    if _jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    from xequinet_tpu.run.train import run_train
+    from xequinet_tpu.utils.config import XequiConfig
+
+    dps = _mols(rng, 32)
+    db = os.path.join(str(tmp_path), "db")
+    create_dataset(
+        db, dps,
+        units={keys.TOTAL_ENERGY: "eV", keys.POSITIONS: "Angstrom"},
+        split={"train": list(range(24)), "valid": list(range(24, 32))},
+    )
+    cfg = XequiConfig()
+    cfg.data.db_path = db
+    cfg.data.cutoff = 5.0
+    cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
+    cfg.data.batch_size = 8
+    cfg.data.valid_batch_size = 8
+    cfg.model.model_name = "xpainn"
+    cfg.model.model_kwargs = dict(
+        KW, use_pallas_scatter="mega", pallas_layout=(8, 8, 16, 16)
+    )
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.warmup_epochs = 0
+    cfg.trainer.lossfn = "l2"
+    cfg.trainer.losses_weight = {keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0}
+    cfg.trainer.save_dir = str(tmp_path / "dp")
+    os.makedirs(cfg.trainer.save_dir, exist_ok=True)
+    cfg.trainer.dp_devices = 2
+    with pltpu.force_tpu_interpret_mode():
+        tr = run_train(cfg)
+        m = tr.validate()
+    assert tr.mesh is not None and tr.mesh.size == 2
+    assert all(np.isfinite(v["mae"]) for v in m.values())
