@@ -83,17 +83,18 @@ def run_test(
 
     acc = MetricAccumulator()
     dump = [] if (verbose or results_file) else None
+    # hoisted: a fresh jax.jit wrapper per batch would retrace/recompile
+    # the forward for EVERY batch of the verbose dump
+    fwd_step = jax.jit(
+        lambda p, b: apply_forward(p, b, compute_forces, compute_virial)
+    )
     for raw in loader:
         batch = {k: jnp.asarray(v) for k, v in raw.items()}
         acc.update(jax.device_get(eval_step(params, batch)))
         if dump is not None:
             # per-structure predictions (reference run/test.py verbose dump,
             # minus its fancy-index bugs)
-            out = jax.device_get(
-                jax.jit(
-                    lambda p, b: apply_forward(p, b, compute_forces, compute_virial)
-                )(params, batch)
-            )
+            out = jax.device_get(fwd_step(params, batch))
             gm = np.asarray(raw[keys.GRAPH_MASK])
             ptr = np.asarray(raw[keys.BATCH_PTR])
             for g in range(int(gm.sum())):
