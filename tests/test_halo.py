@@ -228,3 +228,104 @@ def test_halo_train_step_matches_single_device(model_and_params, rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
         )
+
+
+def test_halo_calculator_matches_calculator(tmp_path, rng):
+    """HaloCalculator (one large system over the 8-device mesh) ==
+    the single-device Calculator: energies and forces, across two
+    geometries reusing one compiled program — the multi-chip MD force
+    provider (beyond the reference: its MD system must fit one GPU)."""
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.models.model import resolve_model
+    from xequinet_tpu.parallel.halo import HaloCalculator
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+
+    kw = dict(node_dim=16, node_irreps="16x0e+8x1o", embed_basis="one-hot",
+              num_basis=8, cutoff=5.0, action_blocks=2,
+              output_modes=["energy"])
+    module, extra, _ = resolve_model("xpainn", **kw)
+    n = 200
+    x = np.cumsum(rng.uniform(0.8, 1.6, size=n))
+    pos = np.column_stack([x, rng.normal(size=(n, 2)) * 1.2])
+    shuffle = rng.permutation(n)  # input NOT spatially sorted
+    pos = pos[shuffle]
+    z = rng.integers(1, 9, size=n).astype(np.int32)
+
+    from xequinet_tpu.models.model import init_params
+    from xequinet_tpu.ops.radius_graph import radius_graph_np
+
+    ei, _ = radius_graph_np(pos, 5.0)
+    params = init_params(module, collate([Datapoint(z, pos, edge_index=ei)]))
+    ckpt = str(tmp_path / "halo.ckpt")
+    save_checkpoint(ckpt, params,
+                    config_to_dict(ModelConfig(model_name="xpainn",
+                                               model_kwargs=kw)))
+
+    ref = Calculator(ckpt)
+    hc = HaloCalculator(ckpt, n_shards=8)
+    for step in range(2):
+        p = pos + step * 0.02 * rng.normal(size=pos.shape)
+        r0 = ref.calculate(z, p)
+        r1 = hc.calculate(z, p)
+        np.testing.assert_allclose(
+            r1[keys.TOTAL_ENERGY], r0[keys.TOTAL_ENERGY],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            r1[keys.FORCES], r0[keys.FORCES], rtol=1e-4, atol=1e-5
+        )
+    assert len(hc._fwd_cache) == 1, "moving geometry must reuse one program"
+
+    # PBC is out of contract
+    with pytest.raises(ValueError):
+        hc.calculate(z, pos, cell=np.eye(3) * 50.0,
+                     pbc=np.array([True] * 3))
+
+
+def test_run_md_halo_matches_single_device(tmp_path, rng):
+    """`xeq md` with halo_devices=8: a short NVE trajectory of one large
+    system over the mesh equals the single-device trajectory."""
+    from xequinet_tpu.data.fmt_conversion import read_xyz, write_xyz
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.run.dynamics import run_md
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import (
+        MDConfig, ModelConfig, config_to_dict,
+    )
+
+    kw = dict(node_dim=16, node_irreps="16x0e+8x1o", embed_basis="one-hot",
+              num_basis=8, cutoff=5.0, action_blocks=1,
+              output_modes=["energy"])
+    module, extra, _ = resolve_model("xpainn", **kw)
+    n = 120
+    x = np.cumsum(rng.uniform(0.9, 1.5, size=n))
+    pos = np.column_stack([x, rng.normal(size=(n, 2)) * 1.0])
+    z = rng.integers(1, 5, size=n).astype(np.int32)
+    ei, _ = radius_graph_np(pos, 5.0)
+    params = init_params(module, collate([Datapoint(z, pos, edge_index=ei)]))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params,
+                    config_to_dict(ModelConfig(model_name="xpainn",
+                                               model_kwargs=kw)))
+    xyz = tmp_path / "in.xyz"
+    write_xyz(str(xyz), [Datapoint(z, pos)])
+
+    def md(tag, halo_devices):
+        cfg = MDConfig(
+            ensembles=[{"name": "nve", "timestep": 0.5, "steps": 4,
+                        "log_interval": 2}],
+            input_file=str(xyz), model_file=ckpt,
+            logfile=str(tmp_path / f"{tag}.log"),
+            xyz_traj=str(tmp_path / f"{tag}.xyz"),
+            seed=5, init_temperature=30.0, halo_devices=halo_devices,
+        )
+        run_md(cfg)
+        return read_xyz(str(tmp_path / f"{tag}.xyz"))
+
+    ref = md("single", 0)
+    halo = md("halo", 8)
+    assert len(ref) == len(halo) >= 2
+    np.testing.assert_allclose(
+        halo[-1].pos, ref[-1].pos, rtol=1e-4, atol=1e-5
+    )

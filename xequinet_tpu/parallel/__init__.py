@@ -6,7 +6,8 @@ from .data_parallel import (
     stack_device_batches,
 )
 from .edge_partition import make_edge_parallel_forward, shard_batch
-from .halo import halo_partition, make_halo_forward, make_halo_train_step
+from .halo import (HaloCalculator, halo_partition, make_halo_forward,
+                   make_halo_train_step)
 from .mesh import DP_AXIS, GP_AXIS, make_mesh
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "stack_device_batches", "device_put_sharded_batch",
     "make_edge_parallel_forward", "shard_batch",
     "halo_partition", "make_halo_forward", "make_halo_train_step",
+    "HaloCalculator",
 ]

@@ -53,6 +53,7 @@ def halo_partition(
     halo: int,
     cell_offsets: Optional[np.ndarray] = None,
     balance_edges: bool = False,
+    edge_cap: Optional[int] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """Partition one large system into per-shard window subgraphs.
 
@@ -124,6 +125,14 @@ def halo_partition(
             f"{nl}) too small — sort nodes spatially or raise halo"
         )
     el = max(_ceil_to(int(counts.max()) if n else 1, 128), 128)
+    if edge_cap is not None:
+        # fixed per-shard capacity: repeated partitions of a moving
+        # system (MD) keep one compiled program
+        if el > edge_cap:
+            raise ValueError(
+                f"per-shard edges {el} exceed edge_cap {edge_cap}"
+            )
+        el = edge_cap
 
     ei = np.zeros((n_shards, 2, el), dtype=np.int32)
     em = np.zeros((n_shards, el), dtype=bool)
@@ -348,6 +357,165 @@ def make_halo_train_step(
         return (params, opt_state), loss
 
     return step
+
+
+class HaloCalculator:
+    """Multi-chip single-system calculator: MD on one NON-PBC system too
+    large for a single chip (beyond the reference, whose largest MD
+    system must fit one GPU).
+
+    Per force call the host sorts atoms along the longest bounding-box
+    axis (the spatial-order contract of :func:`halo_partition`), builds
+    the neighbor list, partitions into fixed-capacity shard windows and
+    runs :func:`make_halo_forward` over the mesh — so a moving system
+    reuses ONE compiled program step to step.  Forces come back exact
+    per owned atom (tests/test_halo.py) and are unsorted to input order.
+
+    Drop-in for :class:`interface.calculator.Calculator` in the MD
+    driver's ForceField for ``calculate(z, pos)``.  Not supported:
+    PBC (a wrapped edge spans the whole index range, breaking the
+    banded-window contract) and charge/spin embeddings (a global charge
+    cannot be attributed to one spatial shard).
+    """
+
+    def __init__(
+        self,
+        ckpt_file: str,
+        n_shards: Optional[int] = None,
+        halo: Optional[int] = None,
+        use_ema: bool = True,
+        margin: float = 1.3,
+    ) -> None:
+        import jax as _jax
+
+        from ..run.test import load_model_from_checkpoint
+        from ..training.trainer import restore_params
+        from ..utils.qc import get_default_units
+        from .mesh import make_mesh
+
+        module, extra, cutoff, blob, mc = load_model_from_checkpoint(
+            ckpt_file
+        )
+        if mc["model_kwargs"].get("charge_embed") or mc["model_kwargs"].get(
+            "spin_embed"
+        ):
+            raise ValueError(
+                "HaloCalculator does not support charge/spin embeddings"
+            )
+        self.module = module
+        self.cutoff = float(cutoff)
+        self._blob = blob
+        self._use_ema = use_ema
+        self.units = get_default_units()
+        self.n_shards = int(n_shards or _jax.device_count())
+        self.mesh = make_mesh(self.n_shards, axis_names=(GP_AXIS,))
+        self._halo = halo
+        self._edge_cap: Optional[int] = None
+        self._margin = margin
+        self._params = None
+        self._restore = restore_params
+        self._fwd_cache: Dict = {}
+        self.last_virial = None
+
+    def _ensure_params(self, probe_batch):
+        if self._params is None:
+            from ..models.model import init_params
+
+            params = init_params(self.module, probe_batch)
+            key = (
+                "ema_model"
+                if (self._use_ema and "ema_model" in self._blob)
+                else "model"
+            )
+            self._params = self._restore(params, self._blob[key])
+        return self._params
+
+    def calculate(
+        self,
+        atomic_numbers: np.ndarray,
+        positions: np.ndarray,
+        cell=None,
+        pbc=None,
+        charge=None,
+        spin=None,
+    ) -> Dict[str, np.ndarray]:
+        from ..ops.radius_graph import radius_graph_np
+
+        if cell is not None and pbc is not None and np.any(pbc):
+            raise ValueError("HaloCalculator supports non-PBC systems only")
+        z = np.asarray(atomic_numbers)
+        pos = np.asarray(positions, dtype=np.float64)
+        n = len(z)
+
+        axis_i = int(np.argmax(pos.max(0) - pos.min(0)))
+        perm = np.argsort(pos[:, axis_i], kind="stable")
+        z_s, pos_s = z[perm], pos[perm]
+        ei, _ = radius_graph_np(pos_s, self.cutoff)
+        order = np.argsort(ei[0], kind="stable")
+        ei = ei[:, order]
+
+        reach = int(np.abs(ei[1] - ei[0]).max()) if ei.shape[1] else 0
+        if self._halo is None:
+            self._halo = _ceil_to(
+                max(int(reach * self._margin), 8), 8
+            )
+        if self._edge_cap is None:
+            per = int(
+                np.bincount(
+                    ei[0] * self.n_shards // max(n, 1),
+                    minlength=self.n_shards,
+                ).max()
+            )
+            self._edge_cap = max(
+                _ceil_to(int(per * self._margin), 128), 128
+            )
+        if reach >= self._halo:  # diffusion widened the reach: recompile
+            self._halo = _ceil_to(int(reach * self._margin), 8)
+        try:
+            stacked, geom = halo_partition(
+                z_s, pos_s, ei, self.n_shards, self._halo,
+                edge_cap=self._edge_cap,
+            )
+        except ValueError:
+            # density fluctuation overflowed the edge capacity: grow it
+            # (one recompile) instead of crashing the MD run
+            per = int(
+                np.bincount(
+                    ei[0] * self.n_shards // max(n, 1),
+                    minlength=self.n_shards,
+                ).max()
+            )
+            self._edge_cap = max(
+                _ceil_to(int(per * self._margin), 128), 128
+            )
+            stacked, geom = halo_partition(
+                z_s, pos_s, ei, self.n_shards, self._halo,
+                edge_cap=self._edge_cap,
+            )
+        sig = (geom["n_local"], geom["halo"], self._edge_cap)
+        if sig not in self._fwd_cache:
+            from ..data.batching import collate
+            from ..data.datapoint import Datapoint
+
+            m = min(n, 16)
+            ei_p, _ = radius_graph_np(pos_s[:m], self.cutoff)
+            params = self._ensure_params(
+                collate([Datapoint(z_s[:m], pos_s[:m], edge_index=ei_p)])
+            )
+            apply_bound = lambda d: self.module.apply({"params": params}, d)
+            self._fwd_cache[sig] = make_halo_forward(
+                apply_bound, self.mesh, geom, GP_AXIS
+            )
+        e, f = self._fwd_cache[sig](stacked, compute_forces=True)
+        nl, h = geom["n_local"], geom["halo"]
+        nm = stacked[keys.NODE_MASK][:, h : h + nl].reshape(-1)
+        f_sorted = np.asarray(f).reshape(-1, 3)[nm]
+        forces = np.empty_like(f_sorted)
+        forces[perm] = f_sorted
+        return {
+            keys.TOTAL_ENERGY: float(np.asarray(e)),
+            keys.FORCES: forces,
+        }
 
 
 def comm_bytes_per_block(

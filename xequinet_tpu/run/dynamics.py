@@ -316,8 +316,15 @@ def run_md(config: MDConfig, logger=None) -> MDState:
         str(st.get("name", "nve")).lower() for st in (config.ensembles or [])
     ]
     needs_virial = any("npt" in n for n in stage_names)
-    calc = Calculator(config.model_file, compute_virial=needs_virial,
-                      pallas=config.pallas)
+    if config.halo_devices and config.halo_devices > 1:
+        # one large system spanning devices (non-PBC; parallel/halo.py)
+        from ..parallel.halo import HaloCalculator
+
+        calc = HaloCalculator(config.model_file,
+                              n_shards=config.halo_devices)
+    else:
+        calc = Calculator(config.model_file, compute_virial=needs_virial,
+                          pallas=config.pallas)
     ff = ForceField(
         calc, dp.atomic_numbers,
         cell=dp.cell if dp.has_cell else None,

@@ -104,6 +104,9 @@ class MDConfig:
     # "mega": fused Pallas message kernels on the MD hot loop (non-PBC
     # systems with bounded sorted-neighbor reach; automatic XLA fallback)
     pallas: Optional[str] = None
+    # >1: run the system halo-decomposed over this many devices (one
+    # large non-PBC system spanning chips; parallel/halo.HaloCalculator)
+    halo_devices: int = 0
 
 
 def _merge_into(obj: Any, data: Dict[str, Any], path: str = "") -> Any:
