@@ -247,3 +247,22 @@ def test_run_train_mega_on_dp_mesh(tmp_path, rng):
         m = tr.validate()
     assert tr.mesh is not None and tr.mesh.size == 2
     assert all(np.isfinite(v["mae"]) for v in m.values())
+
+
+def test_loader_drops_kernel_window_violators(rng):
+    """A molecule wider than pad_nodes cannot satisfy the block-window
+    contract — the loader must DROP it (drop_oversized semantics), not
+    crash mid-epoch in prepare_v2."""
+    dps = _mols(rng, 12)
+    # one 40-atom molecule > pad_nodes=16
+    pos = rng.normal(size=(40, 3)) * 3.0
+    ei, _ = radius_graph_np(pos, 5.0)
+    dps.append(Datapoint(rng.integers(1, 5, size=40).astype(np.int32),
+                         pos, edge_index=ei,
+                         energy=0.0, forces=np.zeros((40, 3))))
+    caps = {"n_nodes": 64, "n_edges": 2048, "n_graphs": 7}
+    loader = DataLoader(InMemoryDataset(dps), batch_size=6,
+                        capacities=caps, kernel_layout=LAYOUT)
+    n_structs = sum(int(b[keys.GRAPH_MASK].sum()) for b in loader)
+    assert loader.n_dropped == 1
+    assert n_structs == 12

@@ -187,6 +187,23 @@ def collate(
     return out
 
 
+def kernel_layout_from_model_kwargs(
+    model_kwargs: Dict,
+) -> Optional[Dict[str, int]]:
+    """Loader-side slot layout matching a model's pallas settings, or
+    None when the model doesn't use the mega kernels.  Single source of
+    truth for the train/test/inference drivers."""
+    if model_kwargs.get("use_pallas_scatter") not in ("mega", "mega-xb"):
+        return None
+    bn, chunk, pad_nodes, max_chunks = model_kwargs.get(
+        "pallas_layout", (256, 1024, 32, 8)
+    )
+    return {
+        "block_nodes": bn, "chunk": chunk,
+        "pad_nodes": pad_nodes, "max_chunks": max_chunks,
+    }
+
+
 def kernel_slot_cap(n_nodes_cap: int, n_edges_cap: int, layout: Dict[str, int]) -> int:
     """Fixed flat-slot capacity for ``_apply_kernel_layout`` given the
     loader's node/edge capacities: worst case every block pads its edge

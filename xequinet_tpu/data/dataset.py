@@ -131,9 +131,21 @@ class DataLoader:
         )
         buf: List[Datapoint] = []
         used_n = used_e = 0
+        # kernel window bound: a molecule wider than pad_nodes cannot
+        # satisfy the block-window contract (prepare_v2 would raise mid-
+        # epoch) — treat it as oversized like any other capacity overflow
+        max_mol = (
+            self.kernel_layout["pad_nodes"]
+            if self.kernel_layout is not None
+            else None
+        )
         for i in order:
             dp = self.dataset[int(i)]
-            if dp.num_atoms > cap_n or dp.num_edges > cap_e:
+            if (
+                dp.num_atoms > cap_n
+                or dp.num_edges > cap_e
+                or (max_mol is not None and dp.num_atoms > max_mol)
+            ):
                 if self.drop_oversized:
                     self.n_dropped += 1
                     continue

@@ -162,13 +162,19 @@ def read_structures(
         fmt is not None or p.endswith(".xyz") or p.endswith(".extxyz")
     ):
         return read_xyz(path)
+    xyz_err = None
     if fmt is None:
         # unknown extension: try the built-in reader, then ASE
         try:
             return read_xyz(path)
-        except Exception:
-            pass
-    from ase import io as ase_io
+        except Exception as err:
+            xyz_err = err
+    try:
+        from ase import io as ase_io
+    except ImportError:
+        if xyz_err is not None:
+            raise xyz_err  # surface the real parse failure, not 'no ase'
+        raise
 
     atoms_list = ase_io.read(p, index=":", format=fmt)
     if not isinstance(atoms_list, list):

@@ -186,7 +186,7 @@ class Calculator:
         rank[perm] = np.arange(n)
         ne = ei.shape[1]
         if ne > e_cap:
-            raise ValueError(f"edge overflow {ne} > {e_cap}")
+            return None  # denser than the edge capacity: XLA fallback
         dst = rank[ei[0]]
         src = rank[ei[1]]
         reach = int(np.abs(dst - src).max()) if ne else 0
@@ -249,7 +249,16 @@ class Calculator:
         )
         layout_t = (bn, chunk, pad, mx_cap)
 
-        self._ensure_params(batch)
+        # probe WITHOUT the K_* layout arrays: for a mega-trained
+        # checkpoint self.module carries the checkpoint's own
+        # pallas_layout, which need not match this runtime layout — the
+        # K-free probe takes the XLA path (same parameter tree)
+        probe = {
+            k: v for k, v in batch.items()
+            if k not in (keys.K_SRC2, keys.K_DST2, keys.K_CHUNK_BASE,
+                         keys.K_NCHUNKS, keys.K_WSTARTS)
+        }
+        self._ensure_params(probe)
         apply_mega = self._mega_apply_forward(layout_t)
         self._mega["geom"] = {"bn": bn, "pad": pad, "mx": mx_cap}
 

@@ -402,6 +402,12 @@ class HaloCalculator:
             raise ValueError(
                 "HaloCalculator does not support charge/spin embeddings"
             )
+        if "ewald" in str(mc.get("model_name", "")).lower():
+            raise ValueError(
+                "HaloCalculator does not support Ewald models: the "
+                "k-space block is global, not decomposable into "
+                "shard windows"
+            )
         self.module = module
         self.cutoff = float(cutoff)
         self._blob = blob
@@ -459,39 +465,28 @@ class HaloCalculator:
             self._halo = _ceil_to(
                 max(int(reach * self._margin), 8), 8
             )
-        if self._edge_cap is None:
-            per = int(
-                np.bincount(
-                    ei[0] * self.n_shards // max(n, 1),
-                    minlength=self.n_shards,
-                ).max()
-            )
-            self._edge_cap = max(
-                _ceil_to(int(per * self._margin), 128), 128
-            )
         if reach >= self._halo:  # diffusion widened the reach: recompile
             self._halo = _ceil_to(int(reach * self._margin), 8)
-        try:
-            stacked, geom = halo_partition(
-                z_s, pos_s, ei, self.n_shards, self._halo,
-                edge_cap=self._edge_cap,
-            )
-        except ValueError:
-            # density fluctuation overflowed the edge capacity: grow it
-            # (one recompile) instead of crashing the MD run
-            per = int(
-                np.bincount(
-                    ei[0] * self.n_shards // max(n, 1),
-                    minlength=self.n_shards,
-                ).max()
-            )
-            self._edge_cap = max(
-                _ceil_to(int(per * self._margin), 128), 128
-            )
-            stacked, geom = halo_partition(
-                z_s, pos_s, ei, self.n_shards, self._halo,
-                edge_cap=self._edge_cap,
-            )
+        # exact per-shard requirement, with halo_partition's own binning
+        # (owner = dst // n_local): growing the capacity BEFORE the
+        # partition means an MD density fluctuation costs one recompile,
+        # never a crash
+        nl_exact = _ceil_to((n + self.n_shards - 1) // self.n_shards, 8)
+        need = max(
+            _ceil_to(
+                int(np.bincount(ei[0] // nl_exact,
+                                minlength=self.n_shards).max())
+                if ei.shape[1] else 1,
+                128,
+            ),
+            128,
+        )
+        if self._edge_cap is None or need > self._edge_cap:
+            self._edge_cap = _ceil_to(int(need * self._margin), 128)
+        stacked, geom = halo_partition(
+            z_s, pos_s, ei, self.n_shards, self._halo,
+            edge_cap=self._edge_cap,
+        )
         sig = (geom["n_local"], geom["halo"], self._edge_cap)
         if sig not in self._fwd_cache:
             from ..data.batching import collate

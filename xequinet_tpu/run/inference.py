@@ -44,15 +44,11 @@ class InferenceEngine:
         # checkpoints trained with the mega kernels keep them at inference:
         # batches carry the slot layout (falls back to plain collate when a
         # structure exceeds the kernel window)
-        self._kernel_layout = None
-        if mc["model_kwargs"].get("use_pallas_scatter") in ("mega", "mega-xb"):
-            bn, chunk, pad_nodes, max_chunks = mc["model_kwargs"].get(
-                "pallas_layout", (256, 1024, 32, 8)
-            )
-            self._kernel_layout = {
-                "block_nodes": bn, "chunk": chunk,
-                "pad_nodes": pad_nodes, "max_chunks": max_chunks,
-            }
+        from ..data.batching import kernel_layout_from_model_kwargs
+
+        self._kernel_layout = kernel_layout_from_model_kwargs(
+            mc["model_kwargs"]
+        )
 
     def _get_params(self, sample_batch):
         if self._params is None:

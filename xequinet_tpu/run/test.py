@@ -53,15 +53,9 @@ def run_test(
     _train, _valid, test_set = build_datasets(config)
     # checkpoints trained with the mega kernels need the slot layout in
     # every batch (fixed slot capacity -> one compiled program)
-    kernel_layout = None
-    if _mc["model_kwargs"].get("use_pallas_scatter") in ("mega", "mega-xb"):
-        bn, chunk, pad_nodes, max_chunks = _mc["model_kwargs"].get(
-            "pallas_layout", (256, 1024, 32, 8)
-        )
-        kernel_layout = {
-            "block_nodes": bn, "chunk": chunk,
-            "pad_nodes": pad_nodes, "max_chunks": max_chunks,
-        }
+    from ..data.batching import kernel_layout_from_model_kwargs
+
+    kernel_layout = kernel_layout_from_model_kwargs(_mc["model_kwargs"])
     loader = DataLoader(
         test_set, config.data.valid_batch_size, kernel_layout=kernel_layout
     )

@@ -109,15 +109,9 @@ def run_train(config: XequiConfig, logger=None) -> Trainer:
     # loaders emit the block-aligned slot layout with a FIXED slot
     # capacity, so every batch of the bucket compiles to one program
     # (PERF.md: 926k edges/s vs 671k XLA on the flagship step)
-    kernel_layout = None
-    if mc.model_kwargs.get("use_pallas_scatter") in ("mega", "mega-xb"):
-        bn, chunk, pad_nodes, max_chunks = mc.model_kwargs.get(
-            "pallas_layout", (256, 1024, 32, 8)
-        )
-        kernel_layout = {
-            "block_nodes": bn, "chunk": chunk,
-            "pad_nodes": pad_nodes, "max_chunks": max_chunks,
-        }
+    from ..data.batching import kernel_layout_from_model_kwargs
+
+    kernel_layout = kernel_layout_from_model_kwargs(mc.model_kwargs)
     train_loader = DataLoader(
         train_set,
         local_bs,
