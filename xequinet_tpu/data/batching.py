@@ -105,6 +105,29 @@ def collate(
     dipole = np.zeros((G, 3), dtype=dtype)
     polar = np.zeros((G, 3, 3), dtype=dtype)
 
+    # extras present on EVERY datapoint ride along, padded by their
+    # leading dimension: num_atoms -> node arrays, num_edges -> edge
+    # arrays (re-ordered with the center sort), else per graph.  Carries
+    # e.g. the xmatnet matrix-block labels through XDB datasets.
+    extra_keys = (
+        set.intersection(*(set(d.extras) for d in datapoints))
+        if datapoints
+        else set()
+    )
+    extras_out: Dict[str, np.ndarray] = {}
+    extras_kind: Dict[str, str] = {}
+    for k in sorted(extra_keys):
+        a0 = np.asarray(datapoints[0].extras[k])
+        if a0.shape[:1] == (datapoints[0].num_atoms,):
+            extras_kind[k] = "node"
+            extras_out[k] = np.zeros((n_nodes,) + a0.shape[1:], dtype=a0.dtype)
+        elif a0.shape[:1] == (datapoints[0].num_edges,):
+            extras_kind[k] = "edge"
+            extras_out[k] = np.zeros((n_edges,) + a0.shape[1:], dtype=a0.dtype)
+        else:
+            extras_kind[k] = "graph"
+            extras_out[k] = np.zeros((G,) + a0.shape, dtype=a0.dtype)
+
     node_off = 0
     edge_off = 0
     for g, d in enumerate(datapoints):
@@ -147,6 +170,15 @@ def collate(
             dipole[g] = d.dipole
         if has["polar"]:
             polar[g] = d.polar
+        for k in extra_keys:
+            a = np.asarray(d.extras[k])
+            if extras_kind[k] == "node":
+                extras_out[k][sl] = a
+            elif extras_kind[k] == "edge":
+                if e:
+                    extras_out[k][esl] = a[order]
+            else:
+                extras_out[k][g] = a
         node_off += n
         edge_off += e
     ptr[len(datapoints) + 1 :] = ptr[len(datapoints)]
@@ -166,6 +198,8 @@ def collate(
         out[keys.CELL] = cell
         out[keys.PBC] = pbc
         out[keys.CELL_OFFSETS] = cell_offsets
+    for k, v in extras_out.items():
+        out[k] = v
     if kernel_layout is not None:
         out = _apply_kernel_layout(out, kernel_layout)
     if has["charge"]:

@@ -66,6 +66,11 @@ BASE_CHARGES: Final[str] = "base_charges"
 TOTAL_CHARGE: Final[str] = "charge"
 TOTAL_SPIN: Final[str] = "spin"
 
+# QC-matrix learning (QHNet-style; models/xmatnet.py): per-node diagonal
+# and per-edge off-diagonal blocks of an AO-basis operator matrix
+NODE_MAT_BLOCKS: Final[str] = "node_mat_blocks"
+EDGE_MAT_BLOCKS: Final[str] = "edge_mat_blocks"
+
 DIPOLE: Final[str] = "dipole"
 BASE_DIPOLE: Final[str] = "base_dipole"
 DIPOLE_MAGNITUDE: Final[str] = "dipole_magnitude"

@@ -301,11 +301,20 @@ def build_so3krates(**kwargs: Any) -> Tuple[BlockStack, List[str], float]:
     return BlockStack(blocks=tuple(blocks)), extra_properties, cutoff
 
 
+def build_xmatnet(**kwargs: Any):
+    from .xmatnet import build_xmatnet as _b
+
+    return _b(**kwargs)
+
+
 MODEL_BUILDERS = {
     "xpainn": build_xpainn,
     "xpainn-ewald": build_xpainn_ewald,
     "painn": build_painn,
     "so3krates": build_so3krates,
+    # QC-matrix learning (QHNet-style; beyond the reference, which ships
+    # the matlayer blocks unwired — models/xmatnet.py)
+    "xmatnet": build_xmatnet,
 }
 
 

@@ -25,7 +25,11 @@ NODE_LEVEL_PROPERTIES = {
     keys.ATOMIC_ENERGIES,
     keys.BASE_FORCES,
     keys.BASE_CHARGES,
+    keys.NODE_MAT_BLOCKS,
 }
+# properties stored per edge (masked by EDGE_MASK): QC-matrix off-
+# diagonal blocks (models/xmatnet.py)
+EDGE_LEVEL_PROPERTIES = {keys.EDGE_MAT_BLOCKS}
 
 
 def _criterion(loss_fn: str) -> Callable[[Array, Array], Array]:
@@ -48,6 +52,8 @@ def _criterion(loss_fn: str) -> Callable[[Array, Array], Array]:
 def _mask_for(prop: str, target: DataDict) -> Array:
     if prop in NODE_LEVEL_PROPERTIES:
         return target[keys.NODE_MASK]
+    if prop in EDGE_LEVEL_PROPERTIES:
+        return target[keys.EDGE_MASK]
     return target[keys.GRAPH_MASK]
 
 
