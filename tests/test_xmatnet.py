@@ -201,3 +201,68 @@ def test_matrix_labels_ride_collate_and_store(tmp_path, rng):
     # padding rows are zero
     nm = b0[keys.NODE_MASK]
     assert (b0[keys.NODE_MAT_BLOCKS][~nm] == 0).all()
+
+
+def test_run_train_xmatnet_end_to_end(tmp_path, rng):
+    """`xeq train` on an XDB matrix dataset: the production driver trains
+    xmatnet on stored NODE/EDGE_MAT_BLOCKS labels (NeighborTransform must
+    NOT rebuild the stored edge set the labels are bound to)."""
+    from xequinet_tpu.data.store import create_dataset
+    from xequinet_tpu.run.train import run_train
+    from xequinet_tpu.utils.config import XequiConfig
+
+    tk = MatToolkit(BASIS, ["H", "O"])
+    module, extra, _ = resolve_model("xmatnet", **KW)
+    teacher = init_params(module, collate(_water_like(rng)), seed=7)
+    fwd = make_apply_forward(module, extra)
+
+    dps = []
+    for dp in _water_like(rng, n_mol=20):
+        b = collate([dp])
+        out = fwd(teacher, {k: jnp.asarray(v) for k, v in b.items()},
+                  False, False)
+        n, ne = dp.num_atoms, dp.num_edges
+        dp.extras[keys.NODE_MAT_BLOCKS] = np.asarray(
+            out[keys.NODE_MAT_BLOCKS]
+        )[:n].astype(np.float32)
+        dp.extras[keys.EDGE_MAT_BLOCKS] = np.asarray(
+            out[keys.EDGE_MAT_BLOCKS]
+        )[:ne].astype(np.float32)
+        dps.append(dp)
+
+    db = str(tmp_path / "matdb")
+    create_dataset(db, dps, units={},
+                   split={"train": list(range(16)),
+                          "valid": list(range(16, 20))})
+    cfg = XequiConfig()
+    cfg.data.db_path = db
+    cfg.data.cutoff = 5.0
+    cfg.data.targets = [keys.NODE_MAT_BLOCKS, keys.EDGE_MAT_BLOCKS]
+    cfg.data.batch_size = 4
+    cfg.data.valid_batch_size = 4
+    cfg.data.node_shift = False
+    cfg.data.node_scale = False
+    cfg.model.model_name = "xmatnet"
+    cfg.model.model_kwargs = dict(KW)
+    cfg.trainer.max_epochs = 8
+    cfg.trainer.warmup_epochs = 0
+    cfg.trainer.max_lr = 5e-3
+    cfg.trainer.lossfn = "matloss"
+    cfg.trainer.losses_weight = {keys.NODE_MAT_BLOCKS: 1.0,
+                                 keys.EDGE_MAT_BLOCKS: 1.0}
+    cfg.trainer.save_dir = str(tmp_path / "run")
+    import os as _os
+
+    _os.makedirs(cfg.trainer.save_dir, exist_ok=True)
+    cfg.trainer.dp_devices = 1
+    tr = run_train(cfg)
+    first = tr.history[0] if hasattr(tr, "history") else None
+    m = tr.validate()
+    mae = {k: v["mae"] for k, v in m.items()}
+    assert all(np.isfinite(v) for v in mae.values())
+    # teacher-student on smooth targets: must beat the zero-prediction
+    # baseline clearly after 8 epochs
+    base = float(np.abs(np.concatenate([
+        dp.extras[keys.NODE_MAT_BLOCKS].ravel() for dp in dps[16:]
+    ])).mean())
+    assert mae[keys.NODE_MAT_BLOCKS] < base, (mae, base)

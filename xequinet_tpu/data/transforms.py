@@ -29,6 +29,13 @@ class NeighborTransform:
         self.cutoff = cutoff
 
     def __call__(self, data: Datapoint) -> Datapoint:
+        if data.edge_index is not None and any(
+            np.asarray(v).shape[:1] == (data.num_edges,)
+            for v in data.extras.values()
+        ):
+            # edge-level labels (e.g. xmatnet EDGE_MAT_BLOCKS) are bound
+            # to the STORED edge set — rebuilding would desynchronize them
+            return data
         if data.num_atoms == 1 and not data.has_cell:
             raise ValueError("Isolated atom without PBC has no neighbors")
         if data.has_cell:
