@@ -266,3 +266,47 @@ def test_run_train_xmatnet_end_to_end(tmp_path, rng):
         dp.extras[keys.NODE_MAT_BLOCKS].ravel() for dp in dps[16:]
     ])).mean())
     assert mae[keys.NODE_MAT_BLOCKS] < base, (mae, base)
+
+
+def test_run_test_xmatnet(tmp_path, rng):
+    """`xeq test` evaluates a matrix checkpoint (block MAE/RMSE over
+    node/edge masks) straight from the embedded config."""
+    from xequinet_tpu.data.store import create_dataset
+    from xequinet_tpu.run.test import run_test
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import (
+        ModelConfig, XequiConfig, config_to_dict,
+    )
+
+    module, extra, _ = resolve_model("xmatnet", **KW)
+    params = init_params(module, collate(_water_like(rng)), seed=7)
+    fwd = make_apply_forward(module, extra)
+    dps = []
+    for dp in _water_like(rng, n_mol=8):
+        b = collate([dp])
+        out = fwd(params, {k: jnp.asarray(v) for k, v in b.items()},
+                  False, False)
+        dp.extras[keys.NODE_MAT_BLOCKS] = np.asarray(
+            out[keys.NODE_MAT_BLOCKS]
+        )[: dp.num_atoms].astype(np.float32)
+        dp.extras[keys.EDGE_MAT_BLOCKS] = np.asarray(
+            out[keys.EDGE_MAT_BLOCKS]
+        )[: dp.num_edges].astype(np.float32)
+        dps.append(dp)
+    db = str(tmp_path / "matdb")
+    create_dataset(db, dps, units={},
+                   split={"train": [0], "valid": [1],
+                          "test": list(range(2, 8))})
+    ckpt = str(tmp_path / "mat.ckpt")
+    save_checkpoint(ckpt, params,
+                    config_to_dict(ModelConfig(model_name="xmatnet",
+                                               model_kwargs=KW)))
+    cfg = XequiConfig()
+    cfg.data.db_path = db
+    cfg.data.cutoff = 5.0
+    cfg.data.targets = [keys.NODE_MAT_BLOCKS, keys.EDGE_MAT_BLOCKS]
+    cfg.data.valid_batch_size = 4
+    res = run_test(cfg, ckpt)
+    # the checkpoint generated the labels: errors must be ~zero
+    assert res[keys.NODE_MAT_BLOCKS]["mae"] < 1e-6
+    assert res[keys.EDGE_MAT_BLOCKS]["mae"] < 1e-6
