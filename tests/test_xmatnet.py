@@ -310,3 +310,45 @@ def test_run_test_xmatnet(tmp_path, rng):
     # the checkpoint generated the labels: errors must be ~zero
     assert res[keys.NODE_MAT_BLOCKS]["mae"] < 1e-6
     assert res[keys.EDGE_MAT_BLOCKS]["mae"] < 1e-6
+
+
+def test_export_matrix_mode(tmp_path, rng):
+    """`xeq export --mode matrix`: the StableHLO artifact reproduces the
+    in-process block prediction and the manifest carries the basis."""
+    import json
+
+    from xequinet_tpu.interface.export import export_model, load_exported
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+
+    module, extra, _ = resolve_model("xmatnet", **KW)
+    dp = _water_like(rng)[0]
+    params = init_params(module, collate([dp]))
+    ckpt = str(tmp_path / "mat.ckpt")
+    save_checkpoint(ckpt, params,
+                    config_to_dict(ModelConfig(model_name="xmatnet",
+                                               model_kwargs=KW)))
+    out_dir = str(tmp_path / "export")
+    export_model(ckpt, out_dir, max_atoms=8, max_edges=16,
+                 output_mode="matrix", compute_virial=False)
+    manifest = json.loads((tmp_path / "export" / "manifest.json").read_text())
+    assert manifest["output_mode"] == "matrix"
+    assert manifest["target_basis"] == BASIS
+
+    exported, _mani = load_exported(out_dir)
+    fn = exported.call
+    n, ne = 8, 16
+    pos = np.zeros((n, 3), np.float32)
+    pos[:3] = dp.pos
+    zz = np.zeros(n, np.int32)
+    zz[:3] = dp.atomic_numbers
+    ei = np.full((2, ne), n - 1, np.int32)
+    ei[:, : dp.num_edges] = dp.edge_index
+    em = np.arange(ne) < dp.num_edges
+    nb, eb = fn(pos, zz, ei, em, np.array([0], np.int32))
+
+    nb_ref, eb_ref, _ = _predict_blocks(module, params, dp)
+    np.testing.assert_allclose(np.asarray(nb)[:3], nb_ref, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eb)[: dp.num_edges], eb_ref,
+                               rtol=1e-5, atol=1e-6)

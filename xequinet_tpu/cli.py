@@ -73,7 +73,7 @@ def main(argv=None) -> int:
     p_export.add_argument("--max-edges", type=int, default=8192)
     p_export.add_argument("--unit-style", default="metal")
     p_export.add_argument("--mode", default="energy",
-                          choices=["energy", "dipole", "gmx"])
+                          choices=["energy", "dipole", "gmx", "matrix"])
     p_export.add_argument("--periodic", action="store_true",
                           help="energy mode: add cell + cell_offsets inputs")
     p_export.add_argument("--net-charge", type=int, default=None,

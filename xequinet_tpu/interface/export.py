@@ -89,6 +89,16 @@ def make_batchless_forward(apply_forward, params, n_cap: int, e_cap: int,
     """
 
     def run(data):
+        if output_mode == "matrix":
+            # xmatnet AO-basis operator blocks; values stay in MODEL
+            # units (Hamiltonian elements are energies in the training
+            # units; overlaps are dimensionless) — recorded in the
+            # manifest
+            out = apply_forward(params, data, False, False)
+            return (
+                out[keys.NODE_MAT_BLOCKS],
+                out[keys.EDGE_MAT_BLOCKS],
+            )
         if output_mode == "dipole":
             out = apply_forward(params, data, False, False)
             return (
@@ -253,12 +263,17 @@ def export_model(
             inputs_desc += " cell_offsets[f32,E,3] cell[f32,3,3]"
         args = args + (jax.ShapeDtypeStruct((1,), jnp.int32),)
         inputs_desc += " total_charge[i32,1]"
-        outputs_desc = (
-            "atomic_charges[f32,N] dipole[f32,3]"
-            if output_mode == "dipole"
-            else "energy[f32] forces[f32,N,3]"
-            + (" virial[f32,3,3]" if compute_virial else "")
-        )
+        if output_mode == "dipole":
+            outputs_desc = "atomic_charges[f32,N] dipole[f32,3]"
+        elif output_mode == "matrix":
+            outputs_desc = (
+                "node_mat_blocks[f32,N,D,D] edge_mat_blocks[f32,E,D,D] "
+                "(model units)"
+            )
+        else:
+            outputs_desc = "energy[f32] forces[f32,N,3]" + (
+                " virial[f32,3,3]" if compute_virial else ""
+            )
     exported = jax_export.export(jax.jit(fn))(*args)
     blob_bytes = exported.serialize()
 
@@ -284,6 +299,9 @@ def export_model(
         "inputs": inputs_desc,
         "outputs": outputs_desc,
     }
+    if output_mode == "matrix":
+        manifest["target_basis"] = mc["model_kwargs"].get("target_basis")
+        manifest["elements"] = mc["model_kwargs"].get("elements")
     with open(os.path.join(output, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return output
