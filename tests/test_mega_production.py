@@ -266,3 +266,32 @@ def test_loader_drops_kernel_window_violators(rng):
     n_structs = sum(int(b[keys.GRAPH_MASK].sum()) for b in loader)
     assert loader.n_dropped == 1
     assert n_structs == 12
+
+
+def test_loader_prefetch_is_transparent(rng):
+    """prefetch=2 yields exactly the batches the synchronous loader
+    yields (same shuffle order), and propagates producer errors."""
+    ds = InMemoryDataset(_mols(rng, 24))
+    a = DataLoader(ds, batch_size=6, shuffle=True, seed=3)
+    b = DataLoader(ds, batch_size=6, shuffle=True, seed=3, prefetch=2)
+    a.set_epoch(1)
+    b.set_epoch(1)
+    batches_a = list(a)
+    batches_b = list(b)
+    assert len(batches_a) == len(batches_b)
+    for ba, bb in zip(batches_a, batches_b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Broken(), batch_size=2, prefetch=2,
+                        capacities={"n_nodes": 8, "n_edges": 8,
+                                    "n_graphs": 3}))

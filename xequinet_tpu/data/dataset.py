@@ -85,6 +85,7 @@ class DataLoader:
         drop_oversized: bool = True,
         process_shard: Optional[Tuple[int, int]] = None,
         kernel_layout: Optional[Dict[str, int]] = None,
+        prefetch: int = 0,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -112,11 +113,47 @@ class DataLoader:
         # the same seeded permutation — the DistributedSampler equivalent
         # (reference run/train.py:100-129)
         self.process_shard = process_shard
+        # >0: collate batches in a background thread with a bounded
+        # queue, overlapping host batch prep with the device step (the
+        # reference's DataLoader num_workers analogue; numpy releases
+        # the GIL in the big array ops)
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch:
+            return self._iter_prefetched()
+        return self._iter_batches()
+
+    def _iter_prefetched(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        END = object()
+
+        def produce() -> None:
+            try:
+                for b in self._iter_batches():
+                    q.put(b)
+                q.put(END)
+            except BaseException as err:  # propagate into the consumer
+                q.put(err)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+    def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)

@@ -120,6 +120,7 @@ def run_train(config: XequiConfig, logger=None) -> Trainer:
         seed=tc.seed or 0,
         process_shard=shard,
         kernel_layout=kernel_layout,
+        prefetch=2,  # overlap host collate with the device step
     )
     valid_loader = DataLoader(
         valid_set, local_valid_bs, capacities=train_loader.caps,
