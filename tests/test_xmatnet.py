@@ -97,8 +97,9 @@ def test_xmatnet_assembles_full_matrix(rng):
     n_orb = 1 + 5 + 1
     assert M.shape == (n_orb, n_orb)
     assert np.isfinite(M).all()
-    # diagonal atomic blocks symmetric by construction
-    assert abs(M[0, 0] - M[0, 0]) == 0
+    # diagonal atomic blocks symmetric by construction (MatOut
+    # symmetrizes): the O-atom 5x5 block must equal its transpose
+    np.testing.assert_allclose(M[1:6, 1:6], M[1:6, 1:6].T, atol=1e-6)
     nb2, eb2 = tk.get_padded_blocks(dp.atomic_numbers, M, dp.edge_index)
     node_mask, edge_mask = tk.get_mask(dp.atomic_numbers, dp.edge_index)
     np.testing.assert_allclose(
@@ -352,3 +353,68 @@ def test_export_matrix_mode(tmp_path, rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(eb)[: dp.num_edges], eb_ref,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_matrix_labels_survive_kernel_layout(rng):
+    """Edge-level matrix labels follow the mega-kernel slot re-layout
+    (review regression: they previously stayed in the old edge order
+    while EDGE_INDEX moved to slot order)."""
+    from xequinet_tpu.data.batching import kernel_slot_cap
+
+    tk = MatToolkit(BASIS, ["H", "O"])
+    dps = []
+    for dp in _water_like(rng, n_mol=4):
+        n_orb = 7
+        M = rng.normal(size=(n_orb, n_orb))
+        nb, eb = tk.get_padded_blocks(dp.atomic_numbers, M, dp.edge_index)
+        dp.extras[keys.NODE_MAT_BLOCKS] = nb.astype(np.float32)
+        dp.extras[keys.EDGE_MAT_BLOCKS] = eb.astype(np.float32)
+        dps.append(dp)
+
+    layout = {"block_nodes": 8, "chunk": 8, "pad_nodes": 16,
+              "max_chunks": 16}
+    layout["slot_cap"] = kernel_slot_cap(16, 64, layout)
+    plain = collate(dps, 16, 64, 5)
+    slotted = collate(dps, 16, 64, 5, kernel_layout=layout)
+
+    # labels must sit at the SAME slots as their edges in both layouts
+    def label_of_edge(batch):
+        em = batch[keys.EDGE_MASK]
+        ei = batch[keys.EDGE_INDEX][:, em]
+        lbl = batch[keys.EDGE_MAT_BLOCKS][em]
+        order = np.lexsort((ei[1], ei[0]))
+        return ei[:, order], lbl[order]
+
+    ei_a, lb_a = label_of_edge(plain)
+    ei_b, lb_b = label_of_edge(slotted)
+    np.testing.assert_array_equal(ei_a, ei_b)
+    np.testing.assert_allclose(lb_a, lb_b, atol=1e-7)
+    # node labels padded to the block-aligned node capacity
+    assert (
+        slotted[keys.NODE_MAT_BLOCKS].shape[0]
+        == slotted[keys.NODE_MASK].shape[0]
+    )
+
+
+def test_prefetch_abandoned_iterator_stops_producer(rng):
+    """Abandoning a prefetched iterator (take one batch, drop it) must
+    stop the producer thread instead of leaking it blocked on the queue."""
+    import threading
+
+    from xequinet_tpu.data.dataset import DataLoader, InMemoryDataset
+
+    dps = _water_like(rng, n_mol=40)
+    for dp in dps:
+        dp.energy = 0.0
+        dp.forces = np.zeros((dp.num_atoms, 3))
+    loader = DataLoader(InMemoryDataset(dps), batch_size=4, prefetch=2)
+    n0 = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally -> stop + drain + join
+    import time
+
+    deadline = time.time() + 6.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0, "producer thread leaked"

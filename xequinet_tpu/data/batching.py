@@ -118,14 +118,35 @@ def collate(
     extras_kind: Dict[str, str] = {}
     for k in sorted(extra_keys):
         a0 = np.asarray(datapoints[0].extras[k])
-        if a0.shape[:1] == (datapoints[0].num_atoms,):
-            extras_kind[k] = "node"
+        # axis from the key registry first (leading dims are ambiguous:
+        # diatomics have num_atoms == num_edges); shape heuristics only
+        # for unregistered keys, validated over EVERY datapoint
+        if k in keys.NODE_LEVEL_PROPERTIES:
+            kind = "node"
+        elif k in keys.EDGE_LEVEL_PROPERTIES:
+            kind = "edge"
+        else:
+            per_node = all(
+                np.asarray(d.extras[k]).shape[:1] == (d.num_atoms,)
+                for d in datapoints
+            )
+            per_edge = all(
+                np.asarray(d.extras[k]).shape[:1] == (d.num_edges,)
+                for d in datapoints
+            )
+            if per_node and per_edge:
+                raise ValueError(
+                    f"extras[{k!r}]: per-node vs per-edge is ambiguous for "
+                    f"these structures; register the key in "
+                    f"keys.NODE_LEVEL_PROPERTIES / EDGE_LEVEL_PROPERTIES"
+                )
+            kind = "node" if per_node else ("edge" if per_edge else "graph")
+        extras_kind[k] = kind
+        if kind == "node":
             extras_out[k] = np.zeros((n_nodes,) + a0.shape[1:], dtype=a0.dtype)
-        elif a0.shape[:1] == (datapoints[0].num_edges,):
-            extras_kind[k] = "edge"
+        elif kind == "edge":
             extras_out[k] = np.zeros((n_edges,) + a0.shape[1:], dtype=a0.dtype)
         else:
-            extras_kind[k] = "graph"
             extras_out[k] = np.zeros((G,) + a0.shape, dtype=a0.dtype)
 
     node_off = 0
@@ -284,16 +305,15 @@ def _apply_kernel_layout(
     n_nodes = max(((n0 + bn - 1) // bn) * bn, ((window + bn - 1) // bn) * bn)
     if n_nodes != n0:
         batch = dict(batch)
-        for k, pad_val in (
-            (keys.ATOMIC_NUMBERS, 0),
-            (keys.POSITIONS, 0.0),
-            (keys.NODE_MASK, False),
-            (keys.FORCES, 0.0),
-            (keys.ATOMIC_CHARGES, 0.0),
-        ):
+        node_keys = [keys.ATOMIC_NUMBERS, keys.POSITIONS, keys.NODE_MASK] + [
+            # every registered node-level label rides the re-pad too
+            k for k in batch
+            if k in keys.NODE_LEVEL_PROPERTIES
+        ]
+        for k in node_keys:
             if k in batch:
                 a = batch[k]
-                pad = np.full((n_nodes - n0,) + a.shape[1:], pad_val, a.dtype)
+                pad = np.zeros((n_nodes - n0,) + a.shape[1:], a.dtype)
                 batch[k] = np.concatenate([a, pad])
         bpad = np.full(
             n_nodes - n0, batch[keys.GRAPH_MASK].shape[0] - 1, np.int32
@@ -344,11 +364,17 @@ def _apply_kernel_layout(
     ]).astype(np.int32)
     out[keys.EDGE_INDEX] = ei
     out[keys.EDGE_MASK] = valid
-    if keys.CELL_OFFSETS in batch:
-        co = batch[keys.CELL_OFFSETS][real]
-        out[keys.CELL_OFFSETS] = np.where(
-            valid[:, None], co[safe], 0.0
-        ).astype(batch[keys.CELL_OFFSETS].dtype)
+    # every per-edge array follows the slot re-layout (offsets + any
+    # registered edge-level labels, e.g. xmatnet EDGE_MAT_BLOCKS)
+    edge_keys = [keys.CELL_OFFSETS] + [
+        k for k in batch if k in keys.EDGE_LEVEL_PROPERTIES
+    ]
+    for k in edge_keys:
+        if k not in batch:
+            continue
+        a = batch[k][real]
+        shaped_valid = valid.reshape(valid.shape + (1,) * (a.ndim - 1))
+        out[k] = np.where(shaped_valid, a[safe], 0).astype(batch[k].dtype)
     out[keys.K_SRC2] = src2
     out[keys.K_DST2] = dst2
     out[keys.K_CHUNK_BASE] = cb

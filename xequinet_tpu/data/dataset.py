@@ -133,25 +133,47 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded-blocking put that aborts when the consumer is gone
+            # (abandoned generator / exception mid-epoch) — otherwise the
+            # producer thread would block forever holding buffered batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
             try:
                 for b in self._iter_batches():
-                    q.put(b)
-                q.put(END)
+                    if not put(b):
+                        return
+                put(END)
             except BaseException as err:  # propagate into the consumer
-                q.put(err)
+                put(err)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))

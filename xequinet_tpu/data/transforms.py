@@ -30,8 +30,7 @@ class NeighborTransform:
 
     def __call__(self, data: Datapoint) -> Datapoint:
         if data.edge_index is not None and any(
-            np.asarray(v).shape[:1] == (data.num_edges,)
-            for v in data.extras.values()
+            k in keys.EDGE_LEVEL_PROPERTIES for k in data.extras
         ):
             # edge-level labels (e.g. xmatnet EDGE_MAT_BLOCKS) are bound
             # to the STORED edge set — rebuilding would desynchronize them

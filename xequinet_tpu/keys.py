@@ -71,6 +71,16 @@ TOTAL_SPIN: Final[str] = "spin"
 NODE_MAT_BLOCKS: Final[str] = "node_mat_blocks"
 EDGE_MAT_BLOCKS: Final[str] = "edge_mat_blocks"
 
+# axis registry for labels: collate padding, loss/metric masking and the
+# NeighborTransform edge-rebuild guard all dispatch on these, NOT on
+# shape heuristics (leading dims are ambiguous, e.g. diatomics have
+# num_atoms == num_edges)
+NODE_LEVEL_PROPERTIES: Final[Set[str]] = {
+    "forces", "base_forces", "atomic_charges", "base_charges",
+    "atomic_energies", NODE_MAT_BLOCKS,
+}
+EDGE_LEVEL_PROPERTIES: Final[Set[str]] = {EDGE_MAT_BLOCKS}
+
 DIPOLE: Final[str] = "dipole"
 BASE_DIPOLE: Final[str] = "base_dipole"
 DIPOLE_MAGNITUDE: Final[str] = "dipole_magnitude"

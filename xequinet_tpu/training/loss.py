@@ -19,17 +19,8 @@ DataDict = Dict[str, Array]
 
 # properties stored per node (masked by NODE_MASK); everything else is
 # per graph (masked by GRAPH_MASK)
-NODE_LEVEL_PROPERTIES = {
-    keys.FORCES,
-    keys.ATOMIC_CHARGES,
-    keys.ATOMIC_ENERGIES,
-    keys.BASE_FORCES,
-    keys.BASE_CHARGES,
-    keys.NODE_MAT_BLOCKS,
-}
-# properties stored per edge (masked by EDGE_MASK): QC-matrix off-
-# diagonal blocks (models/xmatnet.py)
-EDGE_LEVEL_PROPERTIES = {keys.EDGE_MAT_BLOCKS}
+NODE_LEVEL_PROPERTIES = keys.NODE_LEVEL_PROPERTIES
+EDGE_LEVEL_PROPERTIES = keys.EDGE_LEVEL_PROPERTIES
 
 
 def _criterion(loss_fn: str) -> Callable[[Array, Array], Array]:
