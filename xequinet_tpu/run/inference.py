@@ -143,10 +143,15 @@ def _delta_correction(dp: Datapoint, result: Dict[str, np.ndarray], method: str)
         result[keys.TOTAL_ENERGY] = result[keys.TOTAL_ENERGY] + res.get("energy") * e_conv
     if keys.FORCES in result:
         result[keys.FORCES] = result[keys.FORCES] - res.get("gradient") * f_conv
+    if keys.VIRIAL in result and res.get("virial") is not None:
+        result[keys.VIRIAL] = result[keys.VIRIAL] + res.get("virial") * e_conv
     if keys.ATOMIC_CHARGES in result:
         result[keys.ATOMIC_CHARGES] = result[keys.ATOMIC_CHARGES] + res.get("charges")
     if keys.DIPOLE in result:
-        result[keys.DIPOLE] = result[keys.DIPOLE] + res.get("dipole")
+        d_conv = unit_conversion(
+            "Bohr", default.get(keys.POSITIONS, "Angstrom")
+        )  # xTB dipole is e*Bohr (a.u.)
+        result[keys.DIPOLE] = result[keys.DIPOLE] + res.get("dipole") * d_conv
     return result
 
 
