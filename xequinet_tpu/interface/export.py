@@ -6,8 +6,11 @@ Instead of a TorchScript archive consumed by the LAMMPS/GROMACS C++
 plugins, we export:
 
 * a serialized StableHLO module of the batchless forward (fixed
-  max_atoms/max_edges capacities) via ``jax.export`` — loadable from any
-  XLA runtime (C++ PjRt included), plus
+  max_atoms/max_edges capacities) via ``jax.export`` — a standard
+  portable artifact: any XLA runtime that speaks StableHLO (e.g. the
+  PjRt C API from C++, or ``jax.export.deserialize`` from Python, which
+  is what ``load_exported`` below and the tests exercise) can consume
+  it, plus
 * a JSON manifest with the same metadata the reference stores as
   extra_files (cutoff radius, n_species, periodic table, unit style;
   jit_script.py:73-86).
@@ -308,7 +311,7 @@ def export_model(
 
 
 def load_exported(path: str):
-    """Round-trip loader (also used by the C++ PjRt runner)."""
+    """Round-trip loader (jax.export.deserialize + manifest)."""
     from jax import export as jax_export
 
     with open(os.path.join(path, "model.stablehlo"), "rb") as f:
