@@ -151,5 +151,29 @@ def main() -> None:
     )
 
 
+def _wait_for_backend(budget_s: float = 300.0) -> None:
+    """The axon tunnel can flake transiently; retry backend init for a
+    bounded window instead of failing the whole benchmark run."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=90,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:  # tunnel hang, not error exit
+            ok = False
+        if ok:
+            return
+        if time.perf_counter() - t0 > budget_s:
+            sys.stderr.write("bench: backend unavailable after retries\n")
+            return  # let main() raise the real error
+        time.sleep(15)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     sys.exit(main())
