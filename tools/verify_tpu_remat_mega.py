@@ -1,9 +1,21 @@
 """TPU: remat x mega correctness + compile time (PERF.md roadmap #3 note).
-Also re-measures the MD mega speedup (Calculator) lost to the tunnel outage."""
+
+Two-part check:
+  1. f32: remat must be numerically EXACT vs plain (recomputation is the
+     same deterministic program; measured bit-exact on v5e).
+  2. bf16: remat moves XLA fusion boundaries, and bf16 rounding happens at
+     fusion boundaries, so a deviation within the model's own bf16 rounding
+     envelope (PERF.md: ~1e-1 model-level vs precision=highest) is expected
+     and asserted as an upper bound, not as exactness.
+Also measures compile+run time of the full production combo that blew up
+in round 1 (>10 min): mega + bf16 + remat + grad-of-grad (force-loss step).
+"""
 import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
 print("backend:", jax.default_backend())
 
@@ -12,6 +24,8 @@ from xequinet_tpu.data.batching import collate
 from xequinet_tpu.data.datapoint import Datapoint
 from xequinet_tpu.models.model import init_params, make_apply_forward, resolve_model
 from xequinet_tpu.ops.radius_graph import radius_graph_np
+from xequinet_tpu.training.loss import ErrorMetric, WeightedLoss
+from xequinet_tpu.training.trainer import make_train_step
 
 rng = np.random.default_rng(0)
 dps = []
@@ -25,32 +39,60 @@ for _ in range(256):
 layout = {"block_nodes": 256, "chunk": 1024, "pad_nodes": 32, "max_chunks": 32}
 batch_np = collate(dps, kernel_layout=layout)
 mx = int(batch_np[keys.K_NCHUNKS].max())
-KW = dict(node_dim=128, node_irreps="128x0e+64x1o+32x2e", embed_basis="one-hot",
-          num_basis=20, action_blocks=3, output_modes=["energy"],
-          compute_dtype="bfloat16", update_compute_dtype="bfloat16",
-          use_pallas_scatter="mega", pallas_layout=(256, 1024, 32, mx))
 batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-res = {}
-for tag, remat in (("plain", False), ("remat", True)):
-    m, e, _ = resolve_model("xpainn", **KW, remat=remat)
+
+def build(remat, dt):
+    kw = dict(node_dim=128, node_irreps="128x0e+64x1o+32x2e", embed_basis="one-hot",
+              num_basis=20, action_blocks=3, output_modes=["energy"],
+              compute_dtype=dt, update_compute_dtype=dt,
+              use_pallas_scatter="mega", pallas_layout=(256, 1024, 32, mx),
+              remat=remat)
+    m, e, _ = resolve_model("xpainn", **kw)
     params = init_params(m, batch_np)
     f = make_apply_forward(m, e)
-    jEF = jax.jit(lambda p, d: f(p, d, True, False)[keys.FORCES])
-    t0 = time.perf_counter()
-    o = jEF(params, batch)
-    v = float(np.asarray(o)[0, 0])
-    t_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = jEF(params, batch)
-    _ = float(np.asarray(o)[0, 0])
-    t_run = (time.perf_counter() - t0) / 5
-    res[tag] = (np.asarray(o), t_compile, t_run)
-    print(f"{tag}: compile {t_compile:.0f}s run {t_run*1e3:.1f} ms")
+    return m, e, params, f
 
-d = np.abs(res["plain"][0] - res["remat"][0]).max()
-s = np.abs(res["plain"][0]).max()
-print(f"remat vs plain forces: max dev {d:.3e} (|F|max {s:.1f}, rel {d/s:.1e})")
-assert d / s < 5e-3
+
+# -- part 1: first-order forces, f32 exact / bf16 envelope ------------------
+for dt, bound, kind in ((None, 1e-6, "exact"), ("bfloat16", 1.5e-1, "bf16 envelope")):
+    outs = {}
+    for tag, remat in (("plain", False), ("remat", True)):
+        _, _, params, f = build(remat, dt)
+        jEF = jax.jit(lambda p, d: f(p, d, True, False)[keys.FORCES])
+        t0 = time.perf_counter()
+        o = np.asarray(jEF(params, batch))
+        print(f"  dt={dt} {tag}: compile+run {time.perf_counter()-t0:.0f}s")
+        outs[tag] = o
+    d = np.abs(outs["plain"] - outs["remat"]).max()
+    s = np.abs(outs["plain"]).max()
+    rel = d / s
+    print(f"dtype={dt}: remat vs plain forces max dev {d:.3e} rel {rel:.1e} ({kind})")
+    assert rel < bound, (dt, rel, bound)
+
+# -- part 2: the round-1 compile blowup combo -------------------------------
+# mega + bf16 + remat + grad-of-grad (energy+force loss) — compile + step time.
+m, e, params, f = build(True, "bfloat16")
+lossfn = WeightedLoss("l2", **{keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0})
+metric = ErrorMetric(keys.TOTAL_ENERGY, keys.FORCES)
+opt = optax.adamw(1e-3)
+step = make_train_step(f, lossfn, opt, True, False, 5.0, 0.999, metric)
+state = (params, opt.init(params), jax.tree_util.tree_map(jnp.copy, params))
+one = jnp.asarray(1.0)
+t0 = time.perf_counter()
+state, loss, _ = step(state, batch, one)
+loss0 = float(jax.device_get(loss))
+t_compile = time.perf_counter() - t0
+t0 = time.perf_counter()
+REPS = 5
+for _ in range(REPS):
+    state, loss, _ = step(state, batch, one)
+lossN = float(jax.device_get(loss))
+t_step = (time.perf_counter() - t0) / REPS
+n_edges = int(batch_np[keys.EDGE_MASK].sum())
+print(f"production combo (mega+bf16+remat+grad2): compile {t_compile:.0f}s "
+      f"step {t_step*1e3:.1f} ms ({n_edges/t_step/1e3:.0f}k edges/s) "
+      f"loss {loss0:.3f} -> {lossN:.3f}")
+assert t_compile < 600, "round-1 compile blowup is back"
+assert np.isfinite(lossN) and lossN < loss0
 print("REMAT x MEGA TPU CHECK PASSED")
