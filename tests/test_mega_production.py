@@ -91,13 +91,17 @@ def test_slot_cap_gradients_are_exact(rng):
     with pltpu.force_tpu_interpret_mode():
         params = init_params(module, b_plain)
 
-        def loss_of(p, batch_np):
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        def loss_of(p, batch):
             out = fwd(p, batch, True, False)
             return lossfn(out, batch)[0]
 
-        l1, g1 = jax.value_and_grad(loss_of)(params, b_plain)
-        l2, g2 = jax.value_and_grad(loss_of)(params, b_cap)
+        # jit (one traced program) rather than eager value_and_grad: eager
+        # per-primitive dispatch + the interpreter's io_callbacks share the
+        # CPU client's thread pool and can deadlock on small hosts when the
+        # suite has other pools alive (observed: 43 min idle in futex).
+        g_of = jax.jit(jax.value_and_grad(loss_of))
+        l1, g1 = g_of(params, {k: jnp.asarray(v) for k, v in b_plain.items()})
+        l2, g2 = g_of(params, {k: jnp.asarray(v) for k, v in b_cap.items()})
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     flat1 = jax.tree_util.tree_leaves(g1)
