@@ -55,6 +55,73 @@ def _mols(rng, n_mols):
     return dps
 
 
+def _crystals(rng, n_cryst, cutoff=3.0):
+    """Small periodic cells (n_atoms <= pad_nodes, so each graph's PBC
+    edges stay inside its contiguous index range and the kernel window
+    constraint holds without any spatial sort)."""
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_np
+
+    dps = []
+    for _ in range(n_cryst):
+        n = int(rng.integers(4, 9))
+        cell = np.diag([4.0, 4.5, 5.0]) + rng.normal(size=(3, 3)) * 0.2
+        pos = rng.uniform(0, 1, size=(n, 3)) @ cell
+        z = rng.integers(1, 5, size=n).astype(np.int32)
+        ei, offs = radius_graph_pbc_np(pos, cell, np.ones(3, bool), cutoff)
+        dps.append(
+            Datapoint(z, pos, cell=cell, pbc=np.ones(3, bool),
+                      edge_index=ei, cell_offsets=offs,
+                      energy=float(np.sum(pos**2) * 0.01),
+                      forces=(-0.02 * pos),
+                      virial=rng.normal(size=(3, 3)))
+        )
+    return dps
+
+
+def test_mega_pbc_virial_matches_xla(rng):
+    """PBC crystals through the mega kernels: energy, forces AND the
+    strain-trick virial must match the XLA path, including the
+    second-order gradients of a force+stress loss (the production
+    crystal-training configuration; reference nn/basic.py:93-107)."""
+    dps = _crystals(rng, 6)
+    b = collate(dps, kernel_layout=LAYOUT)
+    mk = lambda mode: resolve_model(
+        "xpainn", **KW,
+        **({"use_pallas_scatter": mode, "pallas_layout": (8, 8, 16, 16)}
+           if mode else {}),
+    )
+    m_x, e_x, _ = mk(None)
+    m_m, e_m, _ = mk("mega")
+    params = init_params(m_x, b)
+    fwd_x = make_apply_forward(m_x, e_x)
+    fwd_m = make_apply_forward(m_m, e_m)
+    lossfn = WeightedLoss(
+        "l2", **{keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0, keys.VIRIAL: 1.0}
+    )
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    with pltpu.force_tpu_interpret_mode():
+        out_m = jax.jit(lambda p, d: fwd_m(p, d, True, True))(params, batch)
+        g_m = jax.jit(
+            jax.grad(lambda p, d: lossfn(fwd_m(p, d, True, True), d)[0])
+        )(params, batch)
+    out_x = jax.jit(lambda p, d: fwd_x(p, d, True, True))(params, batch)
+    g_x = jax.jit(
+        jax.grad(lambda p, d: lossfn(fwd_x(p, d, True, True), d)[0])
+    )(params, batch)
+
+    for key in (keys.TOTAL_ENERGY, keys.FORCES, keys.VIRIAL):
+        np.testing.assert_allclose(
+            np.asarray(out_m[key]), np.asarray(out_x[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    for a, b2 in zip(jax.tree_util.tree_leaves(g_m),
+                     jax.tree_util.tree_leaves(g_x)):
+        a, b2 = np.asarray(a), np.asarray(b2)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b2, rtol=5e-4, atol=1e-5)
+
+
 def test_loader_fixed_slot_shapes(rng):
     ds = InMemoryDataset(_mols(rng, 24))
     loader = DataLoader(ds, batch_size=6, shuffle=True, kernel_layout=LAYOUT)
