@@ -1,0 +1,162 @@
+"""Behavioral parity against the reference implementation itself.
+
+These tests import the two pieces of the reference that are runnable in
+this environment without its CUDA/PyG/e3nn stack:
+
+* the shipped per-element embedding tables
+  (/root/reference/xequinet/utils/pre_computed/*.pt, consumed by
+  utils/qc.py:222-237) — ours must be bit-exact, and
+* the pure-torch PBC neighbor search
+  (/root/reference/xequinet/data/radius_graph.py) — loaded standalone
+  via importlib and compared edge-for-edge (center, neighbor, offset
+  triples) against our host builder on random triclinic crystals.
+
+This is the strongest reference-parity evidence available here: e3nn /
+torch_geometric are not installed (and may not be installed), so the
+equivariant-layer conventions are instead pinned by closed-form anchors
+in tests/test_golden_parity.py.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/xequinet")
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not mounted"
+)
+
+
+def _load_reference_radius_graph():
+    """Import the reference's radius_graph.py as a standalone module
+    (it depends only on torch)."""
+    spec = importlib.util.spec_from_file_location(
+        "_ref_radius_graph", REF / "data" / "radius_graph.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("aux", ["aux28", "aux56"])
+def test_int2c1e_tables_bitexact_vs_reference(aux):
+    from xequinet_tpu.utils.qc import ELEMENTS_LIST, PRE_FOLDER
+
+    ref = torch.load(
+        REF / "utils" / "pre_computed" / f"gfn2-xtb_{aux}.pt",
+        map_location="cpu",
+        weights_only=True,
+    )
+    ours = np.load(PRE_FOLDER / f"gfn2-xtb_{aux}.npz")["table"]
+    assert set(ref) == set(ELEMENTS_LIST[1:87])
+    for i, el in enumerate(ELEMENTS_LIST[1:87], start=1):
+        np.testing.assert_array_equal(ours[i], ref[el].double().numpy())
+
+
+def _edge_set(edge_index, cell_offsets):
+    ei = np.asarray(edge_index)
+    off = np.rint(np.asarray(cell_offsets)).astype(int)
+    return {
+        (int(ei[0, k]), int(ei[1, k]), *off[k].tolist())
+        for k in range(ei.shape[1])
+    }
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_radius_graph_pbc_matches_reference(trial):
+    """Our host PBC builder produces exactly the reference's edge set
+    (same (center, neighbor, cell_offset) triples, same unwrap-shift
+    correction) on random triclinic crystals with mixed pbc flags."""
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_np
+
+    ref_rg = _load_reference_radius_graph()
+    rng = np.random.default_rng(100 + trial)
+    n = int(rng.integers(4, 12))
+    cell = np.eye(3) * (3.0 + rng.random(3) * 2.0)
+    cell += rng.normal(scale=0.4, size=(3, 3)) * (1 - np.eye(3))
+    # positions deliberately outside the unit cell to exercise the
+    # wrap/unwrap offset correction (reference radius_graph.py:186-190)
+    pos = rng.normal(scale=4.0, size=(n, 3))
+    pbc = [(True, True, True), (True, False, True), (False, True, False),
+           (True, True, False)][trial]
+    cutoff = 2.5
+
+    ref_ei, ref_off = ref_rg.radius_graph_pbc(
+        pos=torch.as_tensor(pos, dtype=torch.float64),
+        n_nodes_per_graph=torch.tensor([n]),
+        pbc=torch.as_tensor(np.array([pbc])),
+        cell=torch.as_tensor(cell[None], dtype=torch.float64),
+        cutoff=cutoff,
+    )
+    our_ei, our_off = radius_graph_pbc_np(pos, cell, np.array(pbc), cutoff)
+
+    assert _edge_set(our_ei, our_off) == _edge_set(ref_ei, ref_off)
+
+
+def test_radius_graph_pbc_matches_reference_batched():
+    """Batched parity: two graphs collated the reference way (node index
+    offsets) must match our per-graph builder applied graph-by-graph."""
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_np
+
+    ref_rg = _load_reference_radius_graph()
+    rng = np.random.default_rng(7)
+    sizes = [5, 8]
+    cell = np.eye(3) * 4.0 + rng.normal(scale=0.3, size=(3, 3)) * (1 - np.eye(3))
+    poss = [rng.normal(scale=3.0, size=(m, 3)) for m in sizes]
+    pbc = (True, True, True)
+    cutoff = 2.2
+
+    ref_ei, ref_off = ref_rg.radius_graph_pbc(
+        pos=torch.as_tensor(np.concatenate(poss), dtype=torch.float64),
+        n_nodes_per_graph=torch.tensor(sizes),
+        pbc=torch.as_tensor(np.array([pbc, pbc])),
+        cell=torch.as_tensor(np.stack([cell, cell]), dtype=torch.float64),
+        cutoff=cutoff,
+    )
+    ours = set()
+    base = 0
+    for pos in poss:
+        ei, off = radius_graph_pbc_np(pos, cell, np.array(pbc), cutoff)
+        ours |= _edge_set(ei + base, off)
+        base += pos.shape[0]
+    assert ours == _edge_set(ref_ei, ref_off)
+
+
+def test_single_radius_graph_matches_jit_builder():
+    """The reference's in-graph (TorchScript) neighbor builder — used by
+    its GROMACS deployment model (interface/jit_model.py:189-195) — must
+    agree with our jit-able fixed-capacity builder used by the
+    self-contained export."""
+    import jax.numpy as jnp
+
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_fixed
+
+    ref_rg = _load_reference_radius_graph()
+    rng = np.random.default_rng(11)
+    n = 9
+    cell = np.eye(3) * 4.5 + rng.normal(scale=0.2, size=(3, 3)) * (1 - np.eye(3))
+    pos = rng.normal(scale=3.0, size=(n, 3))
+    pbc = np.array([True, True, True])
+    cutoff = 2.4
+
+    ref_ei, ref_off = ref_rg.single_radius_graph(
+        pos=torch.as_tensor(pos, dtype=torch.float64),
+        pbc=torch.as_tensor(pbc),
+        cell=torch.as_tensor(cell, dtype=torch.float64),
+        cutoff=cutoff,
+    )
+    ei, mask, off, n_found = radius_graph_pbc_fixed(
+        jnp.asarray(pos), jnp.asarray(cell), jnp.asarray(pbc), cutoff,
+        max_edges=512, max_reps=2,
+    )
+    assert int(n_found) <= 512
+    ei = np.asarray(ei)[:, np.asarray(mask)]
+    off = np.asarray(off)[np.asarray(mask)]
+    assert _edge_set(ei, off) == _edge_set(ref_ei, ref_off)
