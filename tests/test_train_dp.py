@@ -130,3 +130,24 @@ def test_process_shard_partitions_dataset(db):
     s0, s1 = energies((0, 2)), energies((1, 2))
     assert len(s0) + len(s1) == len(full)
     assert sorted(s0 + s1) == pytest.approx(full)
+
+
+def test_dp_devices_overrequest_falls_back(db, tmp_path, monkeypatch):
+    """Requesting more dp devices than exist must clamp (with a warning),
+    not desynchronize the loader stacking from the trainer's step choice
+    (regression: a silently-truncated size-1 mesh made run_train wrap
+    loaders in ReplicaBatcher while Trainer took the single-device step,
+    crashing in compute_edge_data with stacked shapes)."""
+    import warnings as _w
+
+    import xequinet_tpu.run.train as rt
+
+    monkeypatch.setattr(rt.jax, "device_count", lambda: 1)
+    cfg = _config(db, str(tmp_path / "clamp"), dp_devices=N_DEV)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        trainer = run_train(cfg)
+    assert any("dp_devices" in str(r.message) for r in rec)
+    assert trainer.mesh is None
+    leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.params))
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)

@@ -58,6 +58,11 @@ def make_mesh(
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"make_mesh: {n_devices} devices requested but only "
+            f"{len(devices)} present"
+        )
     devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)

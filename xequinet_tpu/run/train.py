@@ -17,6 +17,7 @@ dataset; only process 0 writes checkpoints/logs.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -67,6 +68,17 @@ def _resolve_mesh(tc):
 
     maybe_init_distributed()
     n = tc.dp_devices if tc.dp_devices > 0 else jax.device_count()
+    avail = jax.device_count()
+    if n > avail:
+        # make_mesh would silently truncate to the available devices; a
+        # size-1 mesh then desynchronizes from Trainer (which treats
+        # size<=1 as single-device) while the loaders still stack
+        # replica batches — clamp here instead.
+        warnings.warn(
+            f"dp_devices={n} requested but only {avail} device(s) "
+            f"present; training on {avail}."
+        )
+        n = avail
     if n <= 1:
         return None
     return make_mesh(n)
