@@ -366,3 +366,40 @@ def test_loader_prefetch_is_transparent(rng):
         list(DataLoader(Broken(), batch_size=2, prefetch=2,
                         capacities={"n_nodes": 8, "n_edges": 8,
                                     "n_graphs": 3}))
+
+
+def test_empty_batch_keeps_kernel_layout(rng):
+    """dp padding batches (ReplicaBatcher's final partial group) must keep
+    the slot-layout metadata: a zeroed ``k_nchunks`` violates the kernel's
+    every-block-covers->=1-chunk invariant (index maps would compute block
+    offset -1 -> OOB prefetch).  With the template layout preserved, the
+    empty batch must still contribute exactly zero loss and gradient."""
+    from xequinet_tpu.parallel.data_parallel import empty_batch_like
+
+    b = collate(_mols(rng, 6), kernel_layout=LAYOUT)
+    empty = empty_batch_like(b)
+    # layout metadata preserved, everything else zeroed
+    for k in (keys.K_SRC2, keys.K_DST2, keys.K_CHUNK_BASE, keys.K_NCHUNKS,
+              keys.K_WSTARTS):
+        np.testing.assert_array_equal(empty[k], b[k])
+    assert (empty[keys.K_NCHUNKS] >= 1).all()
+    assert not empty[keys.NODE_MASK].any()
+    assert not empty[keys.GRAPH_MASK].any()
+
+    module, extra, _ = resolve_model(
+        "xpainn", **KW, use_pallas_scatter="mega",
+        pallas_layout=(8, 8, 16, 16),
+    )
+    m_xla, _, _ = resolve_model("xpainn", **KW)
+    params = init_params(m_xla, b)  # same tree; init outside interpret mode
+    fwd = make_apply_forward(module, extra)
+    lossfn = WeightedLoss("l2", **{keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0})
+    eb = {k: jnp.asarray(v) for k, v in empty.items()}
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = jax.jit(
+            jax.value_and_grad(lambda p, d: lossfn(fwd(p, d, True, False), d)[0])
+        )(params, eb)
+    assert np.isfinite(float(loss)) and float(loss) == 0.0
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_array_equal(np.asarray(g), 0.0)

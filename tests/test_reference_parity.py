@@ -152,11 +152,12 @@ def test_single_radius_graph_matches_jit_builder():
         cell=torch.as_tensor(cell, dtype=torch.float64),
         cutoff=cutoff,
     )
-    ei, mask, off, n_found = radius_graph_pbc_fixed(
+    ei, mask, off, n_found, needed = radius_graph_pbc_fixed(
         jnp.asarray(pos), jnp.asarray(cell), jnp.asarray(pbc), cutoff,
         max_edges=512, max_reps=2,
     )
     assert int(n_found) <= 512
+    assert int(np.asarray(needed).max()) <= 2
     ei = np.asarray(ei)[:, np.asarray(mask)]
     off = np.asarray(off)[np.asarray(mask)]
     assert _edge_set(ei, off) == _edge_set(ref_ei, ref_off)

@@ -65,9 +65,10 @@ def test_radius_graph_pbc_fixed_matches_host(rng, pbc):
     fn = jax.jit(
         lambda p, c, b: radius_graph_pbc_fixed(p, c, b, cutoff, 512, max_reps=1)
     )
-    ei_d, mask, offs_d, n_found = fn(
+    ei_d, mask, offs_d, n_found, needed = fn(
         pos.astype(np.float32), cell.astype(np.float32), pbc
     )
+    assert (np.asarray(needed) <= 1).all()
     ei_d = np.asarray(ei_d)[:, np.asarray(mask)]
     offs_d = np.asarray(offs_d)[np.asarray(mask)]
     assert int(n_found) == ei_h.shape[1]
@@ -76,10 +77,22 @@ def test_radius_graph_pbc_fixed_matches_host(rng, pbc):
     assert (np.diff(np.asarray(ei_d)[0]) >= 0).all()
 
 
+def test_radius_graph_pbc_fixed_reports_reps_overflow(rng):
+    """Cells thinner than the cutoff need images beyond the static grid;
+    the builder cannot generate them, so it must SAY so (needed_reps) —
+    the gmx consumer's validation channel."""
+    cell = np.eye(3, dtype=np.float32) * 2.0  # plane distance 2 A
+    pos = (rng.uniform(0, 1, size=(4, 3)) @ cell).astype(np.float32)
+    _, _, _, _, needed = radius_graph_pbc_fixed(
+        pos, cell, np.ones(3, bool), 4.5, 256, max_reps=1,
+    )
+    assert (np.asarray(needed) == 3).all()  # ceil(4.5 / 2) > max_reps
+
+
 def test_radius_graph_pbc_fixed_nonpbc_limit(rng):
     pos = rng.normal(size=(7, 3)) * 2.0
     ei_h, _ = radius_graph_np(pos, 3.0)
-    ei_d, mask, offs_d, n_found = radius_graph_pbc_fixed(
+    ei_d, mask, offs_d, n_found, needed = radius_graph_pbc_fixed(
         pos.astype(np.float32), np.eye(3, dtype=np.float32),
         np.zeros(3, bool), 3.0, 128, max_reps=1,
     )
@@ -311,12 +324,13 @@ def test_export_gmx_selfcontained(mini_ckpt, tmp_path, rng):
     pos_pad[:6] = pos * 0.1  # Angstrom -> nm
     z = np.zeros(8, np.int32)
     z[:6] = z6
-    e_kj, f_kj, n_found = exported.call(
+    e_kj, f_kj, n_found, needed = exported.call(
         jnp.asarray(pos_pad), jnp.asarray(z),
         jnp.asarray((cell * 0.1).astype(np.float32)),
         jnp.ones(3, bool), jnp.zeros(1, jnp.int32),
     )
     assert int(n_found) <= 1024
+    assert int(np.asarray(needed).max()) <= manifest["max_reps"]
 
     calc = Calculator(mini_ckpt)
     ref = calc.calculate(z6, pos, cell=cell, pbc=np.ones(3, bool))
@@ -462,3 +476,28 @@ def test_read_structures_and_opt_params(mini_ckpt, tmp_path, rng):
         opt_params=str(params_file),
     )
     assert len(res) == 1 and np.isfinite(res[0]["energy"])
+
+
+def test_calculator_grows_edge_capacity_on_dense_system(mini_ckpt, rng):
+    """A cluster denser than the default 40-edges/atom bucket must NOT be
+    silently truncated: the default-capacity Calculator grows the bucket
+    (recompile) and must agree exactly with one sized generously up
+    front; a user-pinned max_edges refuses instead."""
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.ops.radius_graph import radius_graph_np
+
+    n = 70
+    pos = rng.normal(size=(n, 3)) * 1.2  # ~all-pairs within cutoff 5
+    z = rng.integers(1, 5, n).astype(np.int32)
+    ne = radius_graph_np(pos, 5.0)[0].shape[1]
+    assert ne > n * 40  # the scenario: denser than the default bucket
+
+    res = Calculator(mini_ckpt).calculate(z, pos)
+    ref = Calculator(mini_ckpt, max_edges=8192).calculate(z, pos)
+    np.testing.assert_allclose(res[keys.TOTAL_ENERGY],
+                               ref[keys.TOTAL_ENERGY], rtol=1e-6)
+    np.testing.assert_allclose(res[keys.FORCES], ref[keys.FORCES],
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="edge overflow"):
+        Calculator(mini_ckpt, max_edges=1024).calculate(z, pos)

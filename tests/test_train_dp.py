@@ -151,3 +151,42 @@ def test_dp_devices_overrequest_falls_back(db, tmp_path, monkeypatch):
     assert trainer.mesh is None
     leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.params))
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_replica_batcher_multihost_lockstep(db):
+    """Capacity packing makes micro-batch counts content-dependent, so
+    process-sharded hosts can disagree on steps-per-epoch; in multi-host
+    mode an exhausted host must keep yielding fully-empty groups until
+    ALL processes are done (otherwise the surviving hosts hang in the
+    step's collectives).  Simulate the 'other host still has data' side
+    of the allgather."""
+    from xequinet_tpu.data.dataset import DataLoader
+    from xequinet_tpu.data.store import XDBDataset
+    from xequinet_tpu.data.transforms import build_transform_pipeline
+    from xequinet_tpu.parallel.data_parallel import ReplicaBatcher
+
+    ds = XDBDataset(db, split="train",
+                    transform=build_transform_pipeline(cutoff=5.0))
+    loader = DataLoader(ds, 2)
+    rb = ReplicaBatcher(loader, 2, sync_processes=True)
+    n_local = sum(1 for _ in ReplicaBatcher(loader, 2))
+    n_other = n_local + 3  # the other host packs 3 more groups
+
+    calls = []
+
+    def fake_allgather(flag):
+        calls.append(bool(flag[0]))
+        other_active = len(calls) <= n_other
+        return np.asarray([bool(flag[0]), other_active])
+
+    rb._allgather = fake_allgather
+    groups = list(rb)
+    # exactly max(local, other) steps — lockstep with the slower host
+    assert len(groups) == n_other
+    assert len(calls) == n_other + 1  # +1 final all-done round
+    # the trailing groups are fully masked (zero loss/metric/grad)
+    for g in groups[n_local:]:
+        assert not g[keys.NODE_MASK].any()
+        assert not g[keys.GRAPH_MASK].any()
+    # real groups arrive unchanged and first
+    assert groups[0][keys.NODE_MASK].any()

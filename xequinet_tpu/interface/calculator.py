@@ -33,8 +33,10 @@ class Calculator:
     same jit as the model; for PBC systems the neighbor list (including
     the image-offset replication count) is rebuilt on host from the cell
     passed to each ``calculate`` call, so barostats that rescale the cell
-    (NPT) stay correct — only the padded edge capacity is fixed, and
-    overflow raises instead of silently dropping neighbors.
+    (NPT) stay correct — only the padded edge capacity is fixed; on
+    overflow the default (bucketed) capacity grows with a recompile,
+    while a user-pinned ``max_edges`` raises — neighbors are never
+    silently dropped.
     """
 
     def __init__(
@@ -315,7 +317,13 @@ class Calculator:
             ei, offs = radius_graph_pbc_np(positions, cell, pbc, self.cutoff)
             ne = ei.shape[1]
             if ne > e_cap:
-                raise ValueError(f"edge overflow {ne} > {e_cap}")
+                if self.max_edges:
+                    raise ValueError(
+                        f"edge overflow {ne} > {e_cap}; raise max_edges"
+                    )
+                # denser than the default bucket (e.g. NPT compression):
+                # grow the capacity and recompile
+                e_cap = bucket_capacity(ne)
             edge_index = np.zeros((2, e_cap), dtype=np.int32)
             edge_index[:, :ne] = ei
             edge_mask = np.arange(e_cap) < ne
@@ -351,9 +359,19 @@ class Calculator:
                 )
                 if res is not None:
                     return res
-            ne = min(ei.shape[1], e_cap)
+            ne = ei.shape[1]
+            if ne > e_cap:
+                if self.max_edges:
+                    # user-pinned capacity: refuse, like the PBC branch —
+                    # truncation would mean silently wrong forces
+                    raise ValueError(
+                        f"edge overflow {ne} > {e_cap}; raise max_edges"
+                    )
+                # denser than the 40-edges/atom default bucket: grow the
+                # capacity and recompile instead of dropping neighbors
+                e_cap = bucket_capacity(ne)
             edge_index = np.zeros((2, e_cap), dtype=np.int32)
-            edge_index[:, :ne] = ei[:, :ne]
+            edge_index[:, :ne] = ei
             data_probe[keys.EDGE_INDEX] = edge_index
             data_probe[keys.EDGE_MASK] = np.arange(e_cap) < ne
             self._ensure_params(data_probe)
@@ -417,7 +435,11 @@ class Calculator:
             ei, offs = radius_graph_np(positions, self.cutoff)
         ne = ei.shape[1]
         if ne > e_cap:
-            raise ValueError(f"edge overflow {ne} > {e_cap}")
+            if self.max_edges:
+                raise ValueError(
+                    f"edge overflow {ne} > {e_cap}; raise max_edges"
+                )
+            e_cap = bucket_capacity(ne)
         edge_index = np.zeros((2, e_cap), dtype=np.int32)
         edge_index[:, :ne] = ei
         edge_mask = np.arange(e_cap) < ne

@@ -141,8 +141,11 @@ def make_selfcontained_forward(apply_forward, params, cutoff: float,
     """GROMACS-analogue forward: builds the neighbor list in-graph
     (reference interface/jit_model.py:148-216).  Signature
     ``(positions, atomic_numbers, box, pbc, total_charge) ->
-    (energy, forces, n_edges_found)`` — n_edges_found lets the consumer
-    detect capacity overflow (it must stay <= max_edges)."""
+    (energy, forces, n_edges_found, needed_reps)`` — the consumer must
+    validate ``n_edges_found <= max_edges`` AND
+    ``max(needed_reps) <= max_reps`` (manifest keys): cell images beyond
+    the static [-max_reps, max_reps]^3 grid are not generated, so a reps
+    overflow means the energy is missing periodic neighbors."""
     from ..ops.radius_graph import radius_graph_pbc_fixed
 
     def fn(pos, atomic_numbers, box, pbc, total_charge):
@@ -154,9 +157,11 @@ def make_selfcontained_forward(apply_forward, params, cutoff: float,
         safe_cell = jnp.where(
             jnp.any(pbc), cell_model, jnp.eye(3, dtype=pos.dtype)
         )
-        edge_index, edge_mask, cell_offsets, n_found = radius_graph_pbc_fixed(
-            pos_model, safe_cell, pbc, cutoff, e_cap,
-            max_reps=max_reps, node_mask=node_mask,
+        edge_index, edge_mask, cell_offsets, n_found, needed = (
+            radius_graph_pbc_fixed(
+                pos_model, safe_cell, pbc, cutoff, e_cap,
+                max_reps=max_reps, node_mask=node_mask,
+            )
         )
         data = _base_data(pos, atomic_numbers, edge_index, edge_mask,
                           None if net_charge is not None else total_charge,
@@ -168,6 +173,7 @@ def make_selfcontained_forward(apply_forward, params, cutoff: float,
             out[keys.TOTAL_ENERGY][0] * energy_conv,
             out[keys.FORCES] * (energy_conv / pos_conv),
             n_found,
+            needed,
         )
 
     return fn
@@ -242,7 +248,8 @@ def export_model(
         )
         inputs_desc = ("positions[f32,N,3] atomic_numbers[i32,N] box[f32,3,3] "
                        "pbc[bool,3] total_charge[i32,1]")
-        outputs_desc = "energy[f32] forces[f32,N,3] n_edges_found[i32]"
+        outputs_desc = ("energy[f32] forces[f32,N,3] n_edges_found[i32] "
+                        "needed_reps[i32,3]")
     else:
         fn = make_batchless_forward(
             apply_forward, params, max_atoms, max_edges,

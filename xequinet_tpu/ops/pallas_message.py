@@ -123,7 +123,6 @@ def pack_edge_features(
     )
     y = spherical_harmonics(unique, vec_irrep, normalize=True)
     cols = jnp.concatenate([rbf * fcut, fcut, y.astype(rbf.dtype)], axis=-1)
-    t = cols.shape[0]
     return jnp.pad(cols, ((0, 0), (0, F_PACK - cols.shape[1])))
 
 

@@ -204,7 +204,7 @@ def radius_graph_pbc_fixed(
     max_edges: int,
     max_reps: int = 1,
     node_mask: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jit-able PBC neighbor search with static capacities — the in-graph
     builder for the self-contained deployment export (the reference builds
     its GROMACS model's list in-graph too, interface/jit_model.py:189-195
@@ -215,12 +215,13 @@ def radius_graph_pbc_fixed(
     reference's ceil(cutoff/plane_distance) math) — an image whose offset
     exceeds the required replication, or lies along a non-periodic axis, is
     masked out.  ``n_edges_found > max_edges`` or a required replication
-    ``> max_reps`` signal capacity overflow; the second is returned as the
-    4th output (needed_reps [3]) so callers can validate.
+    ``needed_reps > max_reps`` signal capacity overflow; BOTH are returned
+    so callers can validate — images beyond the static grid are NOT
+    generated, so an unchecked reps overflow means silently missing edges.
 
     Returns (edge_index [2, max_edges], edge_mask, cell_offsets
-    [max_edges, 3] float, n_edges_found).  Edges are emitted center-major
-    (sorted centers).
+    [max_edges, 3] float, n_edges_found, needed_reps [3] int32).  Edges
+    are emitted center-major (sorted centers).
     """
     n = pos.shape[0]
     # required replications per axis: cutoff / plane distance
@@ -275,4 +276,5 @@ def radius_graph_pbc_fixed(
         edge_mask,
         cell_offsets,
         n_found,
+        needed,
     )

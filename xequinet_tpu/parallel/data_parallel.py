@@ -11,7 +11,7 @@ compiler-visible form of DDP's bucketed all-reduce.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -112,8 +112,24 @@ def empty_batch_like(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     replica group so every dp step sees a full [D, ...] stack (losses and
     metric sums on it are exactly zero; its gradient contribution is zero,
     which slightly down-weights the final partial step — the same order of
-    distortion as DDP's sample-repeating DistributedSampler padding)."""
-    return {k: np.zeros_like(v) for k, v in batch.items()}
+    distortion as DDP's sample-repeating DistributedSampler padding).
+
+    The Pallas slot-layout metadata (K_*) must be COPIED, not zeroed: the
+    mega kernel's index maps assume every destination block covers >= 1
+    chunk (batching.prepare guarantees it), and a zeroed ``k_nchunks``
+    makes them compute ``chunk_base + min(c, -1)`` — an out-of-bounds
+    block prefetch.  With the template layout kept, the zeroed node/graph
+    masks still null every loss/metric/gradient contribution."""
+    from .. import keys
+
+    layout_keys = (
+        keys.K_SRC2, keys.K_DST2, keys.K_CHUNK_BASE, keys.K_NCHUNKS,
+        keys.K_WSTARTS,
+    )
+    return {
+        k: (v.copy() if k in layout_keys else np.zeros_like(v))
+        for k, v in batch.items()
+    }
 
 
 class ReplicaBatcher:
@@ -125,17 +141,39 @@ class ReplicaBatcher:
     of them are stacked on a leading device axis.  A final partial group
     is padded with fully-masked empty batches (count-weighted metrics stay
     exact; see empty_batch_like for the gradient note).
+
+    Multi-host lockstep: greedy capacity packing makes the number of
+    micro-batches CONTENT-dependent, so process-sharded hosts generally
+    disagree on steps-per-epoch — one host would exit the epoch loop
+    while the others block forever inside the step's collectives (the
+    reference pads its DistributedSampler to sidestep exactly this).
+    When the JAX distributed runtime spans processes, every yield round
+    allgathers a one-byte "still have data" flag; exhausted hosts keep
+    yielding fully-empty groups (zero loss/metric/grad contribution)
+    until all processes are done, so every host executes the same number
+    of SPMD steps.
     """
 
-    def __init__(self, loader, n_replicas: int) -> None:
+    def __init__(self, loader, n_replicas: int,
+                 sync_processes: Optional[bool] = None) -> None:
         self.loader = loader
         self.n_replicas = n_replicas
         self.caps = loader.caps
+        self.sync_processes = (
+            jax.process_count() > 1
+            if sync_processes is None
+            else sync_processes
+        )
+        # injectable for single-process tests: [local_flag] -> flags of
+        # all processes
+        from jax.experimental import multihost_utils
+
+        self._allgather = multihost_utils.process_allgather
 
     def set_epoch(self, epoch: int) -> None:
         self.loader.set_epoch(epoch)
 
-    def __iter__(self):
+    def _iter_local(self):
         group: List[Dict[str, np.ndarray]] = []
         for b in self.loader:
             group.append(b)
@@ -147,6 +185,29 @@ class ReplicaBatcher:
             while len(group) < self.n_replicas:
                 group.append(empty)
             yield stack_device_batches(group)
+
+    def __iter__(self):
+        if not self.sync_processes:
+            yield from self._iter_local()
+            return
+        inner = self._iter_local()
+        template: Optional[Dict[str, np.ndarray]] = None
+        while True:
+            g = next(inner, None)
+            if g is not None:
+                template = g
+            active = self._allgather(np.asarray([g is not None]))
+            if not np.any(active):
+                break
+            if g is None:
+                if template is None:
+                    raise RuntimeError(
+                        "ReplicaBatcher: this process has no batches at "
+                        "all this epoch but other processes do — shard "
+                        "the dataset so every host gets at least one."
+                    )
+                g = empty_batch_like(template)
+            yield g
 
     def __len__(self) -> int:
         import math
