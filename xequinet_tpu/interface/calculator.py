@@ -47,8 +47,14 @@ class Calculator:
         use_ema: bool = True,
         compute_virial: bool = False,
         pallas: Optional[str] = None,
+        compile_cache: object = True,
     ) -> None:
         from ..run.test import load_model_from_checkpoint
+        from ..utils.compile_cache import enable_compilation_cache
+
+        # persistent XLA cache: MD restarts re-use compiled programs
+        # instead of re-paying the (up to ~2 min) production compile
+        enable_compilation_cache(compile_cache)
 
         module, extra, cutoff, blob, mc = load_model_from_checkpoint(ckpt_file)
         self.module = module
@@ -121,19 +127,25 @@ class Calculator:
 
     # ------------------------------------------------------------------
     def _eval_free(self, pos, static_batch, n_cap, e_cap):
-        """Non-PBC: neighbor rebuild + forward, all inside jit."""
+        """Non-PBC: neighbor rebuild + forward, all inside jit.
+
+        Also returns the device build's n_edges_found so the host can
+        detect capacity overflow: the on-device f32 rebuild can find more
+        edges than the host probe that sized e_cap (cutoff-boundary
+        rounding), and radius_graph_fixed truncates past capacity."""
         from ..ops.radius_graph import radius_graph_fixed
 
-        edge_index, edge_mask, _ = radius_graph_fixed(
+        edge_index, edge_mask, n_found = radius_graph_fixed(
             pos, self.cutoff, e_cap, static_batch[keys.NODE_MASK]
         )
         data = dict(static_batch)
         data[keys.POSITIONS] = pos
         data[keys.EDGE_INDEX] = edge_index
         data[keys.EDGE_MASK] = edge_mask
-        return self.apply_forward(
+        out = self.apply_forward(
             self._params, data, True, self.compute_virial
         )
+        return out, n_found
 
     def _eval_pbc(self, pos, edge_index, edge_mask, cell_offsets, static_batch):
         data = dict(static_batch)
@@ -375,15 +387,31 @@ class Calculator:
             data_probe[keys.EDGE_INDEX] = edge_index
             data_probe[keys.EDGE_MASK] = np.arange(e_cap) < ne
             self._ensure_params(data_probe)
-            key = ("free", n_cap, e_cap, charge is not None, spin is not None)
-            if key not in self._jitted:
-                self._jitted[key] = jax.jit(
-                    lambda pos, sb: self._eval_free(pos, sb, n_cap, e_cap)
+            while True:
+                key = (
+                    "free", n_cap, e_cap, charge is not None, spin is not None
                 )
-            out = self._jitted[key](
-                jnp.asarray(pos_pad),
-                {k: jnp.asarray(v) for k, v in static_batch.items()},
-            )
+                if key not in self._jitted:
+                    self._jitted[key] = jax.jit(
+                        lambda pos, sb, e_cap=e_cap: self._eval_free(
+                            pos, sb, n_cap, e_cap
+                        )
+                    )
+                out, n_found = self._jitted[key](
+                    jnp.asarray(pos_pad),
+                    {k: jnp.asarray(v) for k, v in static_batch.items()},
+                )
+                n_found = int(jax.device_get(n_found))
+                if n_found <= e_cap:
+                    break
+                # the device rebuild found more edges than the capacity
+                # (host probe undercounted at the f32 cutoff boundary, or
+                # the geometry densified since): never truncate silently
+                if self.max_edges:
+                    raise ValueError(
+                        f"edge overflow {n_found} > {e_cap}; raise max_edges"
+                    )
+                e_cap = bucket_capacity(n_found)
 
         out = jax.device_get(out)
         result = {

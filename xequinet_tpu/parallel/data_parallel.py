@@ -169,6 +169,17 @@ class ReplicaBatcher:
         from jax.experimental import multihost_utils
 
         self._allgather = multihost_utils.process_allgather
+        # sync the steps-per-epoch estimate ONCE, eagerly: exhausted hosts
+        # pad with empty groups up to the slowest host, so the true count
+        # is the max over hosts' (content-dependent) packing estimates.
+        # Doing it here — not in __len__ — keeps collectives out of
+        # implicit protocol paths (list() calls __len__ via length_hint,
+        # which would desync the yield-round allgathers across hosts).
+        self._synced_len: Optional[int] = None
+        if self.sync_processes:
+            local = self._local_len()
+            counts = self._allgather(np.asarray([local], dtype=np.int64))
+            self._synced_len = int(np.max(counts))
 
     def set_epoch(self, epoch: int) -> None:
         self.loader.set_epoch(epoch)
@@ -186,6 +197,9 @@ class ReplicaBatcher:
                 group.append(empty)
             yield stack_device_batches(group)
 
+    # lockstep flag values exchanged each yield round
+    _EXHAUSTED, _HAS_DATA, _FATAL = 0, 1, 2
+
     def __iter__(self):
         if not self.sync_processes:
             yield from self._iter_local()
@@ -196,23 +210,45 @@ class ReplicaBatcher:
             g = next(inner, None)
             if g is not None:
                 template = g
-            active = self._allgather(np.asarray([g is not None]))
-            if not np.any(active):
+            flag = self._HAS_DATA if g is not None else self._EXHAUSTED
+            if g is None and template is None:
+                # no batches at all on this host: a bare raise would leave
+                # the peers blocked forever inside the step collectives —
+                # broadcast a fatal flag first so every process breaks out
+                # and reports, then raise locally.
+                flag = self._FATAL
+            flags = self._allgather(np.asarray([flag], dtype=np.int32))
+            if np.any(flags == self._FATAL):
+                raise RuntimeError(
+                    "ReplicaBatcher: a process has no batches at all this "
+                    "epoch but other processes do — shard the dataset so "
+                    "every host gets at least one."
+                )
+            if not np.any(flags == self._HAS_DATA):
                 break
             if g is None:
-                if template is None:
-                    raise RuntimeError(
-                        "ReplicaBatcher: this process has no batches at "
-                        "all this epoch but other processes do — shard "
-                        "the dataset so every host gets at least one."
-                    )
                 g = empty_batch_like(template)
             yield g
 
-    def __len__(self) -> int:
+    def _local_len(self) -> int:
         import math
 
         return max(1, math.ceil(len(self.loader) / self.n_replicas))
+
+    def __len__(self) -> int:
+        """Steps this process will run per epoch.
+
+        Greedy capacity packing makes the local count a content-dependent
+        ESTIMATE; in multi-host lockstep the true count is the max over
+        hosts (exhausted hosts pad with empty groups), so construction
+        allgathers the local estimates and this returns their max —
+        keeping LR warmup/decay pacing (steps_per_epoch -> warmup /
+        max_steps in run/train.py) consistent with the steps actually
+        executed and identical across hosts.  Purely local, collective-
+        free: safe under implicit length_hint calls."""
+        if self._synced_len is not None:
+            return self._synced_len
+        return self._local_len()
 
 
 def replicate(tree, mesh: Mesh):

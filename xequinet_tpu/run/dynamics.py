@@ -316,6 +316,9 @@ def run_md(config: MDConfig, logger=None) -> MDState:
         str(st.get("name", "nve")).lower() for st in (config.ensembles or [])
     ]
     needs_virial = any("npt" in n for n in stage_names)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(config.compile_cache)
     if config.halo_devices and config.halo_devices > 1:
         # one large system spanning devices (non-PBC; parallel/halo.py)
         from ..parallel.halo import HaloCalculator

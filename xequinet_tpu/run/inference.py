@@ -31,6 +31,9 @@ class InferenceEngine:
     """Shape-bucketed jitted predictor over single structures or batches."""
 
     def __init__(self, ckpt_file: str, use_ema: bool = True) -> None:
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         module, extra, cutoff, blob, mc = load_model_from_checkpoint(ckpt_file)
         self.module = module
         self.extra = extra

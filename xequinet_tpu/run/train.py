@@ -86,6 +86,9 @@ def _resolve_mesh(tc):
 
 def run_train(config: XequiConfig, logger=None) -> Trainer:
     tc, dc, mc = config.trainer, config.data, config.model
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(tc.compile_cache)
     mesh = _resolve_mesh(tc)
     logger = logger or ZeroLogger(os.path.join(tc.save_dir, tc.log_file))
     if tc.seed is not None:

@@ -55,6 +55,10 @@ class TrainerConfig:
     # ---- TPU-specific ----------------------------------------------------
     # data-parallel axis size 0 = use all local devices
     dp_devices: int = 0
+    # persistent XLA compilation cache: True = default dir (or
+    # $XEQ_COMPILE_CACHE), a path string, or False to disable.  Saves the
+    # ~116 s production-combo compile on every restart (PERF.md).
+    compile_cache: Any = True
 
 
 @dataclass
@@ -105,8 +109,10 @@ class MDConfig:
     # systems with bounded sorted-neighbor reach; automatic XLA fallback)
     pallas: Optional[str] = None
     # >1: run the system halo-decomposed over this many devices (one
-    # large non-PBC system spanning chips; parallel/halo.HaloCalculator)
+    # large system spanning chips; parallel/halo.HaloCalculator)
     halo_devices: int = 0
+    # persistent XLA compilation cache (see TrainerConfig.compile_cache)
+    compile_cache: Any = True
 
 
 def _merge_into(obj: Any, data: Dict[str, Any], path: str = "") -> Any:
