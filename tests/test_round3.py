@@ -194,3 +194,276 @@ def test_replica_batcher_synced_len_is_max_over_hosts(monkeypatch):
     n_calls = len(calls)
     _ = len(rb)
     assert len(calls) == n_calls  # __len__ itself is collective-free
+
+
+# ---------------------------------------------------------------------------
+# PySCF / geomeTRIC adapters (mocked engine; real pyscf is optional)
+# ---------------------------------------------------------------------------
+class _FakeMole:
+    """Duck-typed PySCF Mole: elements, Bohr coords, charge, spin."""
+
+    def __init__(self, elements, coords_bohr, charge=0, spin=0):
+        self.elements = elements
+        self._coords = np.asarray(coords_bohr, dtype=float)
+        self.charge = charge
+        self.spin = spin
+
+    def atom_coords(self):
+        return self._coords
+
+
+def test_datapoint_from_pyscf_units_and_fields():
+    from xequinet_tpu.data.fmt_conversion import datapoint_from_pyscf
+    from xequinet_tpu.utils.qc import unit_conversion
+
+    coords_bohr = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 2.0]])
+    mole = _FakeMole(["O", "H"], coords_bohr, charge=-1, spin=1)
+    dp = datapoint_from_pyscf(mole)
+    assert dp.atomic_numbers.tolist() == [8, 1]
+    b2a = unit_conversion("Bohr", "Angstrom")
+    np.testing.assert_allclose(dp.pos, coords_bohr * b2a, rtol=1e-12)
+    assert dp.charge == -1 and dp.spin == 1
+
+
+def test_xequi_method_units(mini_ckpt):
+    """energy in Hartree, gradient in a.u. == -forces(eV/A) converted."""
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.run.dynamics import ForceField
+    from xequinet_tpu.run.geometry import xequi_method
+    from xequinet_tpu.utils.qc import unit_conversion
+
+    rng = np.random.default_rng(0)
+    z = np.array([8, 1, 1], dtype=np.int32)
+    pos_ang = rng.normal(size=(3, 3)) * 0.8
+    ff = ForceField(Calculator(mini_ckpt), z)
+    e_ev, f_ev = ff(pos_ang)
+
+    mole = _FakeMole(
+        ["O", "H", "H"], pos_ang / unit_conversion("Bohr", "Angstrom")
+    )
+    e_ha, grad_au = xequi_method(mole, ff)
+    np.testing.assert_allclose(
+        e_ha, e_ev * unit_conversion("eV", "Hartree"), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        grad_au, -f_ev * unit_conversion("eV/Angstrom", "au"), rtol=1e-5,
+        atol=1e-8,
+    )
+
+
+def _install_fake_pyscf(monkeypatch, kernel_log):
+    """A minimal pyscf+geomeTRIC stand-in exercising the delegation
+    wiring: gto.M builds a _FakeMole, as_pyscf_method packages the
+    callback, geometric_solver.kernel calls it and 'optimizes' by
+    shifting positions."""
+    import sys
+    import types
+
+    from xequinet_tpu.utils.qc import ELEMENTS_LIST, unit_conversion
+
+    a2b = 1.0 / unit_conversion("Bohr", "Angstrom")
+
+    pyscf = types.ModuleType("pyscf")
+    gto = types.ModuleType("pyscf.gto")
+    geomopt = types.ModuleType("pyscf.geomopt")
+    geometric_solver = types.ModuleType("pyscf.geomopt.geometric_solver")
+    geometric = types.ModuleType("geometric")
+
+    def M(atom, basis, charge=0, spin=0, unit="Angstrom"):
+        assert unit == "Angstrom"
+        elements = [sym for sym, _ in atom]
+        coords_ang = np.array([c for _, c in atom], dtype=float)
+        return _FakeMole(elements, coords_ang * a2b, charge, spin)
+
+    gto.M = M
+
+    class _FakeMethod:
+        def __init__(self, mole, fn):
+            self.mole = mole
+            self.fn = fn
+
+    def as_pyscf_method(mole, fn):
+        return _FakeMethod(mole, fn)
+
+    def kernel(method, constraints=None, maxsteps=100, **kw):
+        kernel_log.append(
+            {"constraints": constraints, "maxsteps": maxsteps, **kw}
+        )
+        e0, g0 = method.fn(method.mole)  # the shim must be callable
+        assert np.isfinite(e0) and np.isfinite(g0).all()
+        new = _FakeMole(
+            method.mole.elements,
+            method.mole.atom_coords() + 0.05,
+            method.mole.charge,
+            method.mole.spin,
+        )
+        return True, new
+
+    geomopt.as_pyscf_method = as_pyscf_method
+    geometric_solver.kernel = kernel
+    geomopt.geometric_solver = geometric_solver
+    pyscf.gto = gto
+    pyscf.geomopt = geomopt
+    for name, mod in [
+        ("pyscf", pyscf), ("pyscf.gto", gto), ("pyscf.geomopt", geomopt),
+        ("pyscf.geomopt.geometric_solver", geometric_solver),
+        ("geometric", geometric),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def test_run_opt_auto_delegates_to_geometric(mini_ckpt, tmp_path, monkeypatch):
+    """A $set constraint file needs geomeTRIC: run_opt must delegate
+    (passing the file through to kernel) instead of raising."""
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.data.fmt_conversion import write_xyz
+    from xequinet_tpu.run.geometry import run_opt
+
+    kernel_log = []
+    _install_fake_pyscf(monkeypatch, kernel_log)
+
+    rng = np.random.default_rng(1)
+    z = np.array([8, 1, 1], dtype=np.int32)
+    pos = rng.normal(size=(3, 3)) * 0.8
+    inp = str(tmp_path / "w.xyz")
+    write_xyz(inp, [Datapoint(z, pos)])
+    con = tmp_path / "cons.txt"
+    con.write_text("$set\ndistance 1 2 0.96\n")
+
+    results = run_opt(mini_ckpt, inp, max_steps=7, constraints=str(con))
+    assert len(kernel_log) == 1
+    assert kernel_log[0]["constraints"] == str(con)
+    assert kernel_log[0]["maxsteps"] == 7
+    # the 'optimized' geometry is the fake kernel's shifted one
+    np.testing.assert_allclose(results[0]["positions"], pos + 0.05 * 0.529177210903,
+                               rtol=0, atol=1e-6)
+    assert results[0]["converged"]
+
+
+def test_run_opt_native_engine_still_raises(mini_ckpt, tmp_path, monkeypatch):
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.data.fmt_conversion import write_xyz
+    from xequinet_tpu.run.geometry import run_opt
+
+    _install_fake_pyscf(monkeypatch, [])
+    rng = np.random.default_rng(1)
+    inp = str(tmp_path / "w.xyz")
+    write_xyz(inp, [Datapoint(np.array([1, 1], dtype=np.int32),
+                              rng.normal(size=(2, 3)))])
+    con = tmp_path / "cons.txt"
+    con.write_text("$scan\ndistance 1 2 0.8 1.2 5\n")
+    with pytest.raises(NotImplementedError):
+        run_opt(mini_ckpt, inp, constraints=str(con), engine="native")
+
+
+# ---------------------------------------------------------------------------
+# direct LMDB reading: tolerant unpickler + record extraction
+# ---------------------------------------------------------------------------
+def _fake_pyg_pickle(monkeypatch, payload):
+    """Pickle an object whose classes claim to live in torch_geometric.*,
+    then drop the fake modules so unpickling MUST go through the
+    TolerantUnpickler stubs (the real-environment situation: records were
+    written with PyG installed, we read them without it)."""
+    import pickle as _pickle
+    import sys
+    import types
+
+    tg = types.ModuleType("torch_geometric")
+    tgd = types.ModuleType("torch_geometric.data")
+
+    # created via type() so the qualname is module-level (picklable)
+    BaseStorage = type("BaseStorage", (), {"__module__": "torch_geometric.data"})
+    Data = type("Data", (), {"__module__": "torch_geometric.data"})
+    tgd.BaseStorage = BaseStorage
+    tgd.Data = Data
+    tg.data = tgd
+    monkeypatch.setitem(sys.modules, "torch_geometric", tg)
+    monkeypatch.setitem(sys.modules, "torch_geometric.data", tgd)
+
+    store = BaseStorage()
+    store._mapping = payload
+    rec = Data()
+    rec._store = store
+    blob = _pickle.dumps(rec)
+    monkeypatch.delitem(sys.modules, "torch_geometric")
+    monkeypatch.delitem(sys.modules, "torch_geometric.data")
+    return blob
+
+
+def test_tolerant_unpickler_reads_pyg_records(monkeypatch):
+    import torch
+
+    from xequinet_tpu.data.lmdb_reader import (
+        record_to_datapoint,
+        tolerant_loads,
+    )
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(4, 3)).astype(np.float32)
+    payload = {
+        "atomic_numbers": torch.tensor([6, 1, 1, 8]),
+        "pos": torch.tensor(pos),
+        "energy": torch.tensor([-7.25]),
+        "forces": torch.tensor(rng.normal(size=(4, 3)).astype(np.float32)),
+        "charge": torch.tensor([0]),
+        "spin": torch.tensor([0]),
+        "cell": torch.eye(3).unsqueeze(0) * 9.0,
+        "pbc": torch.tensor([[True, True, True]]),
+        "virial": torch.zeros(1, 3, 3),
+    }
+    blob = _fake_pyg_pickle(monkeypatch, payload)
+
+    # torch_geometric must NOT be importable now
+    with pytest.raises(ImportError):
+        import torch_geometric  # noqa: F401
+
+    dp = record_to_datapoint(tolerant_loads(blob))
+    assert dp.atomic_numbers.tolist() == [6, 1, 1, 8]
+    np.testing.assert_allclose(dp.pos, pos, rtol=1e-6)
+    assert dp.energy == pytest.approx(-7.25)
+    assert dp.cell.shape == (3, 3) and dp.cell[0, 0] == pytest.approx(9.0)
+    assert dp.pbc.all()
+    assert dp.virial.shape == (3, 3)
+    assert dp.charge == 0 and dp.spin == 0
+
+
+def test_xdbdataset_missing_backend_message(tmp_path):
+    from xequinet_tpu.data.store import XDBDataset
+
+    (tmp_path / "info.json").write_text("{}")
+    with pytest.raises(FileNotFoundError, match="data.xdb or data.lmdb"):
+        XDBDataset(tmp_path)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("lmdb") is None,
+    reason="lmdb not installed",
+)
+def test_lmdb_dataset_in_place(tmp_path, monkeypatch):
+    """End-to-end: write a reference-format LMDB, read it through
+    XDBDataset without conversion."""
+    import lmdb
+
+    from xequinet_tpu.data.store import XDBDataset
+
+    payloads = []
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        import torch
+
+        payloads.append({
+            "atomic_numbers": torch.tensor([1, 1]),
+            "pos": torch.tensor(rng.normal(size=(2, 3)).astype(np.float32)),
+            "energy": torch.tensor([float(i)]),
+        })
+    env = lmdb.open(str(tmp_path / "data.lmdb"), subdir=False,
+                    map_size=2**30)
+    with env.begin(write=True) as txn:
+        for i, p in enumerate(payloads):
+            txn.put(int(i).to_bytes(8, "little"),
+                    _fake_pyg_pickle(monkeypatch, p))
+    env.close()
+    (tmp_path / "info.json").write_text('{"units": {}}')
+    ds = XDBDataset(tmp_path, split="train")
+    assert len(ds) == 3
+    assert ds[1].energy == pytest.approx(1.0)

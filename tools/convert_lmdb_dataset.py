@@ -1,8 +1,8 @@
 """Convert a reference XequiNet LMDB dataset into an XDB dataset.
 
-Run this in an environment with ``lmdb``, ``torch`` and
-``torch_geometric`` installed (they are only needed to *read* the source;
-the produced XDB directory is consumed torch-free by xequinet-tpu):
+Run this in an environment with ``lmdb`` and ``torch`` installed (torch_geometric is NOT needed —
+the tolerant unpickler in xequinet_tpu.data.lmdb_reader handles the
+PyG payloads); the produced XDB directory is consumed torch-free:
 
     python tools/convert_lmdb_dataset.py <src_dir> <dst_dir> [--split split]
 
@@ -16,18 +16,20 @@ from __future__ import annotations
 
 import argparse
 import json
-import pickle
 import sys
 from pathlib import Path
 
 
 def convert(src: Path, dst: Path, split_name: str = "split") -> None:
     import lmdb  # noqa: F401 (import error = helpful message below)
-    import numpy as np
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
-    from xequinet_tpu.data.datapoint import Datapoint
     from xequinet_tpu.data.store import XDBWriter
+
+    from xequinet_tpu.data.lmdb_reader import (
+        record_to_datapoint,
+        tolerant_loads,
+    )
 
     env = lmdb.open(
         str(src / "data.lmdb"),
@@ -41,52 +43,8 @@ def convert(src: Path, dst: Path, split_name: str = "split") -> None:
     with env.begin() as txn, XDBWriter(dst / "data.xdb") as writer:
         cursor = txn.cursor()
         for _key, value in cursor:
-            data = pickle.loads(value)  # torch_geometric XequiData
-
-            def arr(name):
-                v = getattr(data, name, None)
-                return None if v is None else np.asarray(v.detach().cpu())
-
-            def scalar(name):
-                v = arr(name)
-                return None if v is None else v.reshape(-1)[0].item()
-
-            kw = dict(
-                atomic_numbers=arr("atomic_numbers"),
-                pos=arr("pos"),
-            )
-            cell = arr("cell")
-            pbc = arr("pbc")
-            if cell is not None:
-                kw["cell"] = cell.reshape(3, 3)
-                kw["pbc"] = (
-                    pbc.reshape(3) if pbc is not None else np.ones(3, bool)
-                )
-            for field, attr in [
-                ("energy", "energy"),
-                ("base_energy", "base_energy"),
-                ("charge", "charge"),
-                ("spin", "spin"),
-            ]:
-                v = scalar(attr)
-                if v is not None:
-                    kw[field] = v
-            for field in (
-                "forces",
-                "base_forces",
-                "virial",
-                "atomic_charges",
-                "base_charges",
-                "dipole",
-                "base_dipole",
-                "polar",
-            ):
-                v = arr(field)
-                if v is not None:
-                    kw[field] = np.squeeze(v) if field in (
-                        "virial", "dipole", "base_dipole", "polar"
-                    ) else v
-            writer.append(Datapoint(**kw))
+            # tolerant unpickling: torch_geometric need not be installed
+            writer.append(record_to_datapoint(tolerant_loads(bytes(value))))
             n += 1
 
     info_src = src / "info.json"

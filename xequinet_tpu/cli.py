@@ -51,7 +51,13 @@ def main(argv=None) -> int:
     p_opt.add_argument("--temp", type=float, default=298.15)
     p_opt.add_argument("--delta", "-d", default=None)
     p_opt.add_argument("--constraints", "-con", default=None,
-                       help="geomeTRIC-style constraints file ($freeze xyz)")
+                       help="geomeTRIC-style constraints file ($freeze xyz "
+                            "natively; full files via --engine geometric)")
+    p_opt.add_argument("--engine", default="auto",
+                       choices=["auto", "native", "geometric"],
+                       help="optimizer engine: built-in L-BFGS-B or "
+                            "geomeTRIC via PySCF (auto-delegates when the "
+                            "constraint file needs it)")
     p_opt.add_argument("--shermo", action="store_true",
                        help="write a shermo input file alongside --freq")
     p_opt.add_argument("--save-hessian", action="store_true",

@@ -216,6 +216,32 @@ def datapoint_to_ase(dp: Datapoint):
     return atoms
 
 
+def datapoint_from_pyscf(mole) -> Datapoint:
+    """PySCF Mole -> Datapoint (requires a pyscf-like Mole object).
+
+    Matches reference data/fmt_conversion.py:47-66: element symbols from
+    ``mole.elements``, coordinates from ``mole.atom_coords()`` (Bohr)
+    converted into the model's position unit, net charge and spin
+    (n_alpha - n_beta) carried over.  The entry point for users embedded
+    in PySCF workflows (thermochemistry pipelines, QM-region drivers).
+    """
+    from .. import keys
+    from ..utils.qc import get_default_units, unit_conversion
+
+    pos_unit = get_default_units().get(keys.POSITIONS, "Angstrom")
+    pos = np.asarray(mole.atom_coords()) * unit_conversion("Bohr", pos_unit)
+    z = np.array(
+        [ELEMENTS_DICT[str(s).capitalize()] for s in mole.elements],
+        dtype=np.int32,
+    )
+    return Datapoint(
+        atomic_numbers=z,
+        pos=pos,
+        charge=int(mole.charge),
+        spin=int(mole.spin),
+    )
+
+
 def datapoint_to_pyscf(dp: Datapoint, basis: str = "sto-3g"):
     """Datapoint -> PySCF Mole/Cell (requires pyscf)."""
     from pyscf import gto

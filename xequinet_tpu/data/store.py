@@ -228,7 +228,19 @@ class XDBDataset:
         max_num_samples: Optional[int] = None,
     ) -> None:
         self.db_path = Path(db_path)
-        self.reader = XDBReader(self.db_path / "data.xdb")
+        xdb = self.db_path / "data.xdb"
+        if xdb.exists():
+            self.reader = XDBReader(xdb)
+        elif (self.db_path / "data.lmdb").exists():
+            # reference LMDB dataset consumed in place, no migration step
+            # (requires the lmdb package; data/lmdb_reader.py)
+            from .lmdb_reader import LMDBReader
+
+            self.reader = LMDBReader(self.db_path / "data.lmdb")
+        else:
+            raise FileNotFoundError(
+                f"no data.xdb or data.lmdb under {self.db_path}"
+            )
         info = json.loads((self.db_path / "info.json").read_text())
         self.units: Dict[str, str] = info.get("units", {})
         split_file = self.db_path / f"{split_name}.json"

@@ -32,6 +32,77 @@ EV_J = 1.602176634e-19
 ANG_M = 1e-10
 
 
+def has_geometric_engine() -> bool:
+    """True when the optional PySCF+geomeTRIC optimization engine is
+    importable (the reference's hard dependency, optional here)."""
+    try:
+        import geometric  # noqa: F401
+        import pyscf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def xequi_method(mole, ff: ForceField) -> Tuple[float, np.ndarray]:
+    """Energy (Hartree) and nuclear gradient (a.u.) at a PySCF Mole's
+    geometry — the PySCF-method adapter (reference run/geometry.py:25-56).
+    Delta-learning terms attached to ``ff.extra_calcs`` are included, so
+    the shim serves both pure-ML and delta checkpoints."""
+    from ..data.fmt_conversion import datapoint_from_pyscf
+
+    dp = datapoint_from_pyscf(mole)
+    e_ev, f_ev = ff(dp.pos)
+    energy = float(e_ev) * unit_conversion("eV", "Hartree")
+    grad = -np.asarray(f_ev) * unit_conversion("eV/Angstrom", "au")
+    return energy, grad
+
+
+def make_pyscf_method(dp: Datapoint, ff: ForceField):
+    """Wrap the ForceField as a PySCF 'fake method' usable anywhere PySCF
+    expects one (geomeTRIC optimization, thermochemistry pipelines);
+    requires pyscf.  Mirrors reference run/geometry.py:196-207's
+    ``as_pyscf_method(mole, xequi_method)``."""
+    from pyscf.geomopt import as_pyscf_method
+
+    from ..data.fmt_conversion import datapoint_to_pyscf
+
+    mole = datapoint_to_pyscf(dp)
+    return as_pyscf_method(mole, lambda m: xequi_method(m, ff))
+
+
+def optimize_geometric(
+    ff: ForceField,
+    dp: Datapoint,
+    constraints: Optional[str],
+    max_steps: int,
+    options: Optional[Dict] = None,
+    logger=None,
+) -> Tuple[np.ndarray, float, bool]:
+    """Geometry optimization delegated to the geomeTRIC engine through
+    PySCF (requires pyscf + geometric) — the path that serves FULL
+    geomeTRIC constraint files (distance/angle/dihedral, $set, $scan),
+    exactly like the reference (run/geometry.py:196-207)."""
+    from pyscf.geomopt import geometric_solver
+
+    logger = logger or ZeroLogger()
+    fake_method = make_pyscf_method(dp, ff)
+    converged, new_mole = geometric_solver.kernel(
+        fake_method,
+        constraints=constraints,
+        maxsteps=max_steps,
+        **(options or {}),
+    )
+    from ..data.fmt_conversion import datapoint_from_pyscf
+
+    pos = datapoint_from_pyscf(new_mole).pos
+    e, f = ff(pos)
+    logger.info(
+        f"geomeTRIC optimization {'converged' if converged else 'NOT converged'}: "
+        f"E={e:.6f} eV, max|F|={np.abs(f).max():.4f} eV/A"
+    )
+    return pos, e, bool(converged)
+
+
 def parse_constraints(path: str, n_atoms: int) -> np.ndarray:
     """Parse the geomeTRIC-style constraints file the reference forwards to
     geometric_solver.kernel (/root/reference/xequinet/main.py:115 →
@@ -40,7 +111,8 @@ def parse_constraints(path: str, n_atoms: int) -> np.ndarray:
     i-j ranges).  Returns a boolean frozen-atom mask [n_atoms].
 
     Other constraint classes (distance/angle/dihedral, $set, $scan) need
-    the geomeTRIC engine and raise a clear error here.
+    the geomeTRIC engine (run_opt auto-delegates when pyscf + geometric
+    are installed) and raise NotImplementedError here.
     """
     frozen = np.zeros(n_atoms, dtype=bool)
     section = None
@@ -262,8 +334,13 @@ def run_opt(
     no_opt: bool = False,
     input_format: Optional[str] = None,
     opt_params: Optional[str] = None,
+    engine: str = "auto",
     logger=None,
 ) -> List[Dict]:
+    """``engine``: "native" = built-in L-BFGS-B ($freeze constraints
+    only), "geometric" = delegate to geomeTRIC via PySCF (full constraint
+    files), "auto" = native unless the constraint file needs geomeTRIC
+    and the engine is installed."""
     logger = logger or ZeroLogger()
     calc = Calculator(ckpt_file)
     frames = read_structures(input_file, input_format)
@@ -297,15 +374,32 @@ def run_opt(
                 return res.get("energy") * h2ev, -res.get("gradient") * h2ev / b2a
 
             ff.extra_calcs.append(xtb_extra)
-        frozen = (
-            parse_constraints(constraints, len(dp.atomic_numbers))
-            if constraints
-            else None
-        )
+        use_geometric = engine == "geometric"
+        if use_geometric and not has_geometric_engine():
+            raise ImportError(
+                "engine='geometric' requires pyscf + geometric installed"
+            )
+        frozen = None
+        if constraints and not use_geometric:
+            try:
+                frozen = parse_constraints(constraints, len(dp.atomic_numbers))
+            except NotImplementedError:
+                if engine == "native" or not has_geometric_engine():
+                    raise
+                logger.info(
+                    "constraint file needs the geomeTRIC engine; "
+                    "delegating optimization to geomeTRIC via PySCF"
+                )
+                use_geometric = True
         if no_opt:
             pos = dp.pos.copy()
             e, _ = ff(pos)
             converged = True
+        elif use_geometric:
+            pos, e, converged = optimize_geometric(
+                ff, dp, constraints, max_steps, options=opt_options,
+                logger=logger,
+            )
         else:
             pos, e, converged = optimize(
                 ff, dp.pos, max_steps, fmax, frozen=frozen, logger=logger,
@@ -362,6 +456,7 @@ def run_opt_from_args(args) -> None:
         constraints=getattr(args, "constraints", None),
         input_format=getattr(args, "format", None),
         opt_params=getattr(args, "opt_params", None),
+        engine=getattr(args, "engine", "auto"),
         shermo=getattr(args, "shermo", False),
         save_hessian=getattr(args, "save_hessian", False),
         no_opt=getattr(args, "no_opt", False),
