@@ -1,14 +1,20 @@
-"""Benchmark: XPaiNN training-step throughput in edges/s on one chip.
+"""Benchmarks: one JSON line per metric, flagship (north-star) LAST.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Metrics (BASELINE.json configs):
+  pbc_stress_train_step_edges_per_s — crystal batch, energy+force+stress
+      (virial) loss through the mega kernels (config 3);
+  md_hotloop_pbc_edges_per_s — Calculator(pallas="mega") fwd+forces on a
+      large periodic supercell, the ASE/i-Pi hot loop (config 5,
+      single-chip portion);
+  train_step_edges_per_s_per_chip — flagship energy+forces train step
+      (configs 1-2; the BASELINE.json north star; printed last so a
+      last-line parser reads the headline).
 
-The metric is the north star from BASELINE.json: edges/s/chip through the
-full production hot loop (forward incl. force autodiff + loss + backward +
-optimizer update) on the flagship XPaiNN configuration.  NOTE: the first
-compile of this program can take 10-15 minutes through the axon remote
-compiler; subsequent runs hit the cache.  Budget >= 20 minutes.  The reference
-publishes no numbers (BASELINE.md), so vs_baseline compares against the
-last locally recorded value in bench_history.json (1.0 on first run).
+NOTE: first compiles through the axon remote compiler are slow; the
+persistent compilation cache (enabled below) makes reruns fast.  Budget
+>= 25 minutes cold.  The reference publishes no numbers (BASELINE.md),
+so vs_baseline compares against the last locally recorded value in
+bench_history.json (1.0 on first run).
 """
 
 import json
@@ -18,11 +24,32 @@ import time
 
 import numpy as np
 
-HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.json")
+HISTORY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+)
 
 # mega-kernel slot layout: destination block size (PERF.md round-2 sweep:
 # BN=512 balances slot-padding overhead vs per-block onehot width)
 KERNEL_BN = 512
+
+FLAGSHIP_KW = dict(
+    node_dim=128,
+    node_irreps="128x0e+64x1o+32x2e",
+    embed_basis="one-hot",
+    num_basis=20,
+    action_blocks=3,
+    output_modes=["energy"],
+    # remat off: the bf16 pipeline fits these batches in HBM without it
+    # and runs 1.45x faster (PERF.md round-2 sweep); remat=True remains
+    # the config for larger batches/supercells
+    remat=False,
+    # bf16 message+update pipelines: 1.5x step speedup, f32 params/
+    # accumulation (accuracy study in PERF.md)
+    compute_dtype="bfloat16",
+    update_compute_dtype="bfloat16",
+    # fused Pallas mega kernels for all three passes of force training
+    use_pallas_scatter="mega",
+)
 
 
 def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
@@ -45,110 +72,188 @@ def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
     return collate(dps, kernel_layout=layout)
 
 
-def main() -> None:
+def build_crystal_batch(rng, n_cells=640, cutoff=5.0):
+    """Small periodic cells with virial labels (BASELINE config 3)."""
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.ops.radius_graph import radius_graph_pbc_np
+
+    dps = []
+    for _ in range(n_cells):
+        n = int(rng.integers(8, 17))
+        cell = np.diag(rng.uniform(4.5, 6.5, size=3)) + rng.normal(
+            size=(3, 3)) * 0.15
+        pos = rng.uniform(0, 1, size=(n, 3)) @ cell
+        pbc = np.array([True, True, True])
+        ei, offs = radius_graph_pbc_np(pos, cell, pbc, cutoff)
+        dps.append(Datapoint(
+            rng.integers(1, 9, size=n).astype(np.int32), pos,
+            cell=cell, pbc=pbc, edge_index=ei, cell_offsets=offs,
+            energy=float(rng.normal()),
+            forces=rng.normal(size=(n, 3)).astype(np.float32),
+            virial=rng.normal(size=(3, 3)).astype(np.float32),
+        ))
+    layout = {"block_nodes": 256, "chunk": 1024, "pad_nodes": 32,
+              "max_chunks": 64}
+    return collate(dps, kernel_layout=layout)
+
+
+def _train_step_metric(batch_np, compute_virial, bn, max_chunks, iters=10):
     import jax
     import jax.numpy as jnp
 
     from xequinet_tpu import keys
     from xequinet_tpu.models.model import (
-        init_params,
-        make_apply_forward,
-        resolve_model,
+        init_params, make_apply_forward, resolve_model,
     )
     from xequinet_tpu.training.loss import ErrorMetric, WeightedLoss
     from xequinet_tpu.training.lr_schedule import (
-        resolve_lr_schedule,
-        resolve_optimizer,
+        resolve_lr_schedule, resolve_optimizer,
     )
     from xequinet_tpu.training.trainer import make_train_step
 
-    rng = np.random.default_rng(0)
-    batch_np = build_batch(rng)
-    n_edges_real = int(batch_np[keys.EDGE_MASK].sum())
-    max_chunks = int(batch_np[keys.K_NCHUNKS].max())
-
-    module, extra, _ = resolve_model(
-        "xpainn",
-        node_dim=128,
-        node_irreps="128x0e+64x1o+32x2e",
-        embed_basis="one-hot",
-        num_basis=20,
-        action_blocks=3,
-        output_modes=["energy"],
-        # remat off: the bf16 pipeline fits this batch in HBM without it
-        # and runs 1.45x faster (393 -> 270 ms, PERF.md round-2 sweep);
-        # remat=True remains the config for larger batches/supercells
-        remat=False,
-        compute_dtype="bfloat16",  # bf16 edge pipeline: 1.5x step speedup,
-        # f32 params/accumulation (accuracy validated in tests, PERF.md)
-        update_compute_dtype="bfloat16",  # bf16 update-block MXU work
-        # Pallas mega kernels for the whole message pipeline: forward,
-        # first-order backward AND the force-training second-order pass
-        # (grad-of-grad) each run as one fused kernel (PERF.md round 2:
-        # 926k edges/s vs 671k XLA at BN=512)
-        use_pallas_scatter="mega",
-        pallas_layout=(KERNEL_BN, 1024, 32, max_chunks),
-    )
+    kw = dict(FLAGSHIP_KW)
+    kw["pallas_layout"] = (bn, 1024, 32, max_chunks)
+    module, extra, _ = resolve_model("xpainn", **kw)
     params = init_params(module, batch_np)
     apply_forward = make_apply_forward(module, extra)
 
-    lossfn = WeightedLoss("l2", **{keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0})
-    metric = ErrorMetric(keys.TOTAL_ENERGY, keys.FORCES)
-    schedule = resolve_lr_schedule("cosine_annealing", 5e-4, 10000, warmup_steps=100)
+    weights = {keys.TOTAL_ENERGY: 1.0, keys.FORCES: 10.0}
+    metric_keys = [keys.TOTAL_ENERGY, keys.FORCES]
+    if compute_virial:
+        weights[keys.VIRIAL] = 1.0
+        metric_keys.append(keys.VIRIAL)
+    lossfn = WeightedLoss("l2", **weights)
+    metric = ErrorMetric(*metric_keys)
+    schedule = resolve_lr_schedule("cosine_annealing", 5e-4, 10000,
+                                   warmup_steps=100)
     optimizer = resolve_optimizer("adamw", schedule)
     step = make_train_step(
-        apply_forward, lossfn, optimizer, True, False, 5.0, 0.999, metric
+        apply_forward, lossfn, optimizer, True, compute_virial, 5.0,
+        0.999, metric,
     )
-
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    state = (params, optimizer.init(params), jax.tree_util.tree_map(jnp.copy, params))
+    state = (params, optimizer.init(params),
+             jax.tree_util.tree_map(jnp.copy, params))
     one = jnp.asarray(1.0)
 
-    # warmup / compile.  NOTE: synchronize by FETCHING a value — on some
-    # remote backends (axon tunnel) block_until_ready returns without
-    # draining the queue, which silently turns the benchmark into a
-    # dispatch-latency measurement.
+    # warmup / compile; sync by VALUE FETCH (axon block_until_ready does
+    # not drain the queue — PERF.md)
     for _ in range(3):
         state, loss, _ = step(state, batch, one)
     float(jax.device_get(loss))
-
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(state, batch, one)
-    float(jax.device_get(loss))  # hard sync: loss depends on the full step
+    float(jax.device_get(loss))
     dt = (time.perf_counter() - t0) / iters
+    n_edges = int(batch_np["edge_mask"].sum())
+    return n_edges / dt, dt
 
-    edges_per_s = n_edges_real / dt
 
-    prev = None
+def md_hotloop_pbc_metric(rng, iters=5):
+    """Large periodic supercell fwd+forces through Calculator(mega)."""
+    import jax
+
+    from xequinet_tpu import keys
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.ops.radius_graph import (
+        radius_graph_np, radius_graph_pbc_np,
+    )
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+    import tempfile
+
+    kw = {k: v for k, v in FLAGSHIP_KW.items()
+          if k not in ("use_pallas_scatter", "remat")}
+    kw["cutoff"] = 5.0
+    module, extra, _ = resolve_model("xpainn", **kw)
+    z6 = rng.integers(1, 5, 6).astype(np.int32)
+    p6 = rng.normal(size=(6, 3)) * 1.5
+    ei6, _ = radius_graph_np(p6, 5.0)
+    params = init_params(module, collate([Datapoint(z6, p6, edge_index=ei6)]))
+    ckpt = os.path.join(tempfile.gettempdir(), "bench_md.ckpt")
+    save_checkpoint(ckpt, params, config_to_dict(
+        ModelConfig(model_name="xpainn", model_kwargs=kw)))
+
+    nb = 10000
+    lxb = nb * 0.15
+    cellb = np.diag([lxb, 16.0, 16.0])
+    pbc = np.array([True, True, True])
+    xb = (np.arange(nb) * 0.15 + rng.normal(size=nb) * 0.5) % lxb
+    posb = np.column_stack([xb, rng.uniform(0, 16.0, size=(nb, 2))])
+    zb = rng.integers(1, 9, size=nb).astype(np.int32)
+    ei_b, _ = radius_graph_pbc_np(posb, cellb, pbc, 5.0)
+    n_edges = ei_b.shape[1]
+    e_cap = 1 << int(np.ceil(np.log2(n_edges * 1.2)))
+    calc = Calculator(ckpt, pallas="mega", max_atoms=10240, max_edges=e_cap)
+    calc.calculate(zb, posb, cell=cellb, pbc=pbc)  # compile + warm
+    assert calc._mega and "geom" in calc._mega, "mega path must run"
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = calc.calculate(zb, posb, cell=cellb, pbc=pbc)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(res[keys.TOTAL_ENERGY])
+    return n_edges / dt, dt, n_edges
+
+
+def _emit(name, value, unit, history):
+    prev = history.get(name)
+    vs = value / prev if prev else 1.0
+    history[name] = value
+    print(json.dumps({
+        "metric": name, "value": round(value, 1), "unit": unit,
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+def main() -> None:
+    import jax
+
+    from xequinet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    history = {}
     if os.path.exists(HISTORY):
         try:
-            prev = json.load(open(HISTORY)).get("edges_per_s")
+            history = json.load(open(HISTORY))
         except Exception:
-            prev = None
-    vs_baseline = edges_per_s / prev if prev else 1.0
-    with open(HISTORY, "w") as f:
-        json.dump(
-            {
-                "edges_per_s": edges_per_s,
-                "step_ms": dt * 1e3,
-                "n_edges": n_edges_real,
-                "backend": jax.default_backend(),
-            },
-            f,
+            history = {}
+    # migrate the round-1/2 single-metric history format
+    if "edges_per_s" in history:
+        history.setdefault(
+            "train_step_edges_per_s_per_chip", history.pop("edges_per_s")
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_edges_per_s_per_chip",
-                "value": round(edges_per_s, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
+    rng = np.random.default_rng(0)
+
+    # --- config 3: PBC + stress training --------------------------------
+    crystal_np = build_crystal_batch(rng)
+    mx = int(crystal_np["k_nchunks"].max())
+    eps_pbc, dt_pbc = _train_step_metric(
+        crystal_np, compute_virial=True, bn=256, max_chunks=mx,
     )
+    _emit("pbc_stress_train_step_edges_per_s", eps_pbc, "edges/s", history)
+
+    # --- config 5 (single chip): periodic-supercell MD hot loop ---------
+    eps_md, dt_md, n_e = md_hotloop_pbc_metric(np.random.default_rng(3))
+    _emit("md_hotloop_pbc_edges_per_s", eps_md, "edges/s", history)
+
+    # --- north star: flagship train step (LAST) -------------------------
+    batch_np = build_batch(np.random.default_rng(0))
+    mx = int(batch_np["k_nchunks"].max())
+    eps, dt = _train_step_metric(
+        batch_np, compute_virial=False, bn=KERNEL_BN, max_chunks=mx,
+    )
+    _emit("train_step_edges_per_s_per_chip", eps, "edges/s", history)
+    history["step_ms"] = dt * 1e3
+    history["backend"] = jax.default_backend()
+    with open(HISTORY, "w") as f:
+        json.dump(history, f)
 
 
 def _wait_for_backend(budget_s: float = 300.0) -> None:

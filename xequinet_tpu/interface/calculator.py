@@ -48,13 +48,19 @@ class Calculator:
         compute_virial: bool = False,
         pallas: Optional[str] = None,
         compile_cache: object = True,
+        matmul_precision: Optional[str] = None,
     ) -> None:
         from ..run.test import load_model_from_checkpoint
         from ..utils.compile_cache import enable_compilation_cache
+        from ..utils.precision import set_matmul_precision
 
         # persistent XLA cache: MD restarts re-use compiled programs
         # instead of re-paying the (up to ~2 min) production compile
         enable_compilation_cache(compile_cache)
+        # "float32": exact-f32 dots on the MXU (3-pass) — the on-chip
+        # default (single-pass bf16) bounds force accuracy at the ~5%
+        # max-force envelope on ill-conditioned systems (utils/precision)
+        set_matmul_precision(matmul_precision)
 
         module, extra, cutoff, blob, mc = load_model_from_checkpoint(ckpt_file)
         self.module = module
@@ -70,10 +76,11 @@ class Calculator:
         self._jitted: Dict = {}
         self.units = get_default_units()
         # pallas="mega": run the fused Pallas message kernels on the MD
-        # hot loop (PERF.md: 1.6x fwd+forces).  Applies to non-PBC
-        # systems whose spatially sorted neighbor-index reach fits a
-        # kernel window; otherwise the call falls back to the XLA path
-        # automatically (see _mega_layout).
+        # hot loop (PERF.md: 1.6x fwd+forces).  Applies to systems whose
+        # spatially sorted neighbor-index reach fits a kernel window —
+        # free systems directly, periodic ones via the ghost-image
+        # layout (ops/spatial_sort); otherwise the call falls back to
+        # the XLA path automatically.
         self._pallas = pallas
         self._mc = mc
         self._mega = None  # lazily built (apply_forward, layout) cache
@@ -145,6 +152,7 @@ class Calculator:
         out = self.apply_forward(
             self._params, data, True, self.compute_virial
         )
+        out = {k: v for k, v in out.items() if k in keys.OUTPUT_PROPERTIES}
         return out, n_found
 
     def _eval_pbc(self, pos, edge_index, edge_mask, cell_offsets, static_batch):
@@ -153,7 +161,8 @@ class Calculator:
         data[keys.EDGE_INDEX] = edge_index
         data[keys.EDGE_MASK] = edge_mask
         data[keys.CELL_OFFSETS] = cell_offsets
-        return self.apply_forward(self._params, data, True, self.compute_virial)
+        out = self.apply_forward(self._params, data, True, self.compute_virial)
+        return {k: v for k, v in out.items() if k in keys.OUTPUT_PROPERTIES}
 
     # ------------------------------------------------------------------
     # Pallas mega-kernel MD path (non-PBC, large systems)
@@ -177,43 +186,67 @@ class Calculator:
 
     def _calculate_mega(
         self, atomic_numbers, positions, ei, n, n_cap, e_cap,
-        charge, spin,
+        charge, spin, cell=None, pbc=None, offs=None,
     ):
-        """One non-PBC evaluation through the mega kernels, or None when
-        the system doesn't fit the kernel's banded-window contract.
+        """One evaluation through the mega kernels, or None when the
+        system doesn't fit the kernel's banded-window contract.
 
-        Atoms are sorted along the longest bounding-box axis so neighbor
-        index reach is bounded by the cutoff slab population; the window
-        half-width (pad_nodes) is fixed with a 25% margin at first call
-        and grown (recompile) if a later geometry exceeds it.  Small
-        systems (< 1024-atom capacity / < 4096-edge capacity) and
-        window >= system degenerate cases stay on the XLA path — there
-        the kernel has no bandwidth advantage.
+        Non-PBC: atoms are sorted along the longest bounding-box axis so
+        neighbor index reach is bounded by the cutoff slab population
+        (ops/spatial_sort.spatial_sort_free).  PBC: wrapped edges are
+        remapped to ghost images so the same contract holds across cell
+        boundaries (ops/spatial_sort.ghost_layout_pbc) — positions of
+        ghost rows are derived in-graph, so forces and the strain-trick
+        virial stay exact.  The window half-width (pad_nodes) is fixed
+        with a 25% margin at first call and grown (recompile) if a later
+        geometry exceeds it.  Small systems (< 1024-atom capacity /
+        < 4096-edge capacity) and window >= system degenerate cases stay
+        on the XLA path — there the kernel has no bandwidth advantage.
         """
         from ..data.batching import _apply_kernel_layout, kernel_slot_cap
+        from ..ops.spatial_sort import ghost_layout_pbc, index_reach, \
+            spatial_sort_free
 
         if n_cap < 1024 or e_cap < 4096 or n < 2:
             return None
-        axis = int(np.argmax(positions.max(0) - positions.min(0)))
-        perm = np.argsort(positions[:, axis], kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[perm] = np.arange(n)
         ne = ei.shape[1]
         if ne > e_cap:
             return None  # denser than the edge capacity: XLA fallback
-        dst = rank[ei[0]]
-        src = rank[ei[1]]
-        reach = int(np.abs(dst - src).max()) if ne else 0
+        prev = self._mega.get("geom") if self._mega else None
+        has_cell = cell is not None
 
-        bn = 512 if n_cap >= 2048 else 256
+        if has_cell:
+            plan = ghost_layout_pbc(positions, cell, pbc, ei, offs)
+            n_ext = n + plan["n_ghosts"]
+            ext_cap = bucket_capacity(n_ext)
+            if prev and prev.get("ext_cap", 0) >= ext_cap:
+                ext_cap = prev["ext_cap"]  # keep shapes stable step to step
+            if n_ext > ext_cap:
+                return None  # should not happen (bucket covers n_ext)
+            real_rank = plan["real_rank"]
+            ext_real = plan["ext_real"]
+            is_ghost = plan["is_ghost"]
+            dst, src = plan["dst_ext"], plan["src_ext"]
+            reach = plan["reach"]
+            node_cap = ext_cap
+        else:
+            perm, rank = spatial_sort_free(positions)
+            real_rank = rank
+            ext_real = perm
+            is_ghost = np.zeros(n, dtype=bool)
+            dst, src = rank[ei[0]], rank[ei[1]]
+            reach = index_reach(dst, src)
+            node_cap = n_cap
+            n_ext = n
+
+        bn = 512 if node_cap >= 2048 else 256
         chunk = 1024  # Mosaic: 1-D int32 blocks must be 1024-wide
         pad = ((int(reach * 1.25) + 15) // 8) * 8
-        prev = self._mega.get("geom") if self._mega else None
         if prev and prev["bn"] == bn and prev["pad"] >= pad:
             pad = prev["pad"]  # keep shapes stable across MD steps
         window = bn + 2 * pad
         n_padded = max(
-            ((n_cap + bn - 1) // bn) * bn,
+            ((node_cap + bn - 1) // bn) * bn,
             ((window + bn - 1) // bn) * bn,
         )
         if window >= n_padded:
@@ -223,24 +256,41 @@ class Calculator:
         edge_index = np.zeros((2, e_cap), dtype=np.int32)
         edge_index[0, :ne] = dst[order]
         edge_index[1, :ne] = src[order]
-        edge_index[:, ne:] = n_cap - 1
+        edge_index[:, ne:] = node_cap - 1
         edge_mask = np.arange(e_cap) < ne
 
-        z_s = np.zeros(n_cap, dtype=np.int32)
-        z_s[:n] = atomic_numbers[perm]
-        pos_s = np.zeros((n_cap, 3), dtype=np.float32)
-        pos_s[:n] = positions[perm]
+        slot = np.arange(node_cap)
+        real_row = slot < n_ext
+        z_s = np.zeros(node_cap, dtype=np.int32)
+        z_s[:n_ext] = atomic_numbers[ext_real]
+        pos_s = np.zeros((node_cap, 3), dtype=np.float32)
+        pos_s[:n_ext] = positions[ext_real]
+        node_is_real_atom = real_row.copy()
+        node_is_real_atom[:n_ext] = ~is_ghost
         batch = {
             keys.ATOMIC_NUMBERS: z_s,
             keys.POSITIONS: pos_s,
-            keys.BATCH: np.where(np.arange(n_cap) < n, 0, 1).astype(np.int32),
-            keys.NODE_MASK: np.arange(n_cap) < n,
+            keys.BATCH: np.where(node_is_real_atom, 0, 1).astype(np.int32),
+            keys.NODE_MASK: node_is_real_atom,
             keys.GRAPH_MASK: np.array([True, False]),
             keys.NUM_ATOMS: np.array([n, 0], dtype=np.int32),
             keys.BATCH_PTR: np.array([0, n, n], dtype=np.int32),
             keys.EDGE_INDEX: edge_index,
             keys.EDGE_MASK: edge_mask,
         }
+        if has_cell:
+            gm = slot.astype(np.int32)
+            gm[:n_ext] = real_rank[ext_real].astype(np.int32)
+            gshift = np.zeros((node_cap, 3), dtype=np.float32)
+            gshift[:n_ext] = plan["ext_shift"]
+            batch[keys.GHOST_MAP] = gm
+            batch[keys.GHOST_SHIFT] = gshift
+            batch[keys.CELL] = np.stack(
+                [cell, np.eye(3)]
+            ).astype(np.float32)
+            cell_offsets = np.zeros((e_cap, 3), dtype=np.float32)
+            cell_offsets[:ne] = plan["res_offsets"][order]
+            batch[keys.CELL_OFFSETS] = cell_offsets
         if charge is not None:
             batch[keys.TOTAL_CHARGE] = np.array([charge, 0], dtype=np.int32)
         if spin is not None:
@@ -249,7 +299,7 @@ class Calculator:
         layout = {
             "block_nodes": bn, "chunk": chunk, "pad_nodes": pad,
             "max_chunks": 0,
-            "slot_cap": kernel_slot_cap(n_cap, e_cap, {
+            "slot_cap": kernel_slot_cap(node_cap, e_cap, {
                 "block_nodes": bn, "chunk": chunk, "pad_nodes": pad,
             }),
         }
@@ -274,15 +324,22 @@ class Calculator:
         }
         self._ensure_params(probe)
         apply_mega = self._mega_apply_forward(layout_t)
-        self._mega["geom"] = {"bn": bn, "pad": pad, "mx": mx_cap}
+        self._mega["geom"] = {
+            "bn": bn, "pad": pad, "mx": mx_cap,
+            "ext_cap": node_cap if has_cell else 0,
+        }
 
-        key = ("mega", layout_t, n_cap, e_cap,
+        key = ("mega", layout_t, node_cap, e_cap, has_cell,
                charge is not None, spin is not None)
         if key not in self._jitted:
             cv = self.compute_virial
 
             def eval_mega(data):
-                return apply_mega(self._params, data, True, cv)
+                out = apply_mega(self._params, data, True, cv)
+                return {
+                    k: v for k, v in out.items()
+                    if k in keys.OUTPUT_PROPERTIES
+                }
 
             self._jitted[key] = jax.jit(eval_mega)
         out = self._jitted[key]({k: jnp.asarray(v) for k, v in batch.items()})
@@ -293,10 +350,8 @@ class Calculator:
         }
         for k in (keys.FORCES, keys.ATOMIC_CHARGES, keys.ATOMIC_ENERGIES):
             if k in out:
-                sorted_vals = np.asarray(out[k])[:n]
-                unsorted = np.empty_like(sorted_vals)
-                unsorted[perm] = sorted_vals
-                result[k] = unsorted
+                # original atom j sits at extended slot real_rank[j]
+                result[k] = np.asarray(out[k])[real_rank]
         if self.compute_virial and keys.VIRIAL in out:
             result[keys.VIRIAL] = np.asarray(out[keys.VIRIAL])[0]
         return result
@@ -327,6 +382,15 @@ class Calculator:
         if has_cell:
             # host neighbor build with padded static capacity
             ei, offs = radius_graph_pbc_np(positions, cell, pbc, self.cutoff)
+            if self._pallas == "mega":
+                res = self._calculate_mega(
+                    np.asarray(atomic_numbers), np.asarray(positions),
+                    ei, n, n_cap, e_cap, charge, spin,
+                    cell=np.asarray(cell, dtype=float),
+                    pbc=np.asarray(pbc), offs=offs,
+                )
+                if res is not None:
+                    return res
             ne = ei.shape[1]
             if ne > e_cap:
                 if self.max_edges:

@@ -34,6 +34,12 @@ K_NCHUNKS: Final[str] = "k_nchunks"
 K_WSTARTS: Final[str] = "k_window_starts"
 K_EDGE_FEAT: Final[str] = "k_edge_feat"  # packed [E,128] rbf/fcut/Y stream
 
+# periodic ghost images for banded-window kernels (ops/spatial_sort):
+# ghost rows mirror a real atom at a shifted lattice image — positions are
+# derived in-graph (models/properties), features refreshed per message block
+GHOST_MAP: Final[str] = "ghost_map"  # [N] owning real row (identity on reals)
+GHOST_SHIFT: Final[str] = "ghost_shift"  # [N, 3] integer lattice shift
+
 # intermediate variables
 CENTER_IDX: Final[int] = 0
 NEIGHBOR_IDX: Final[int] = 1
@@ -111,6 +117,20 @@ SPATIAL_EXTENT: Final[str] = "spatial_extent"
 # general-purpose properties
 SCALAR_OUTPUT: Final[str] = "scalar_output"
 CARTESIAN_TENSOR: Final[str] = "cartesian_tensor"
+
+# every key a forward pass can emit as a USER-FACING output.  The
+# interface layers project the blackboard dict onto this set INSIDE the
+# jitted program before fetching from device: the intermediates
+# (edge features, equivariant node states, ...) are megabytes, and
+# device->host transfer is the MD hot-loop tail — on a tunneled TPU
+# backend fetching the full dict costs seconds per call.  Projection in
+# jit also lets XLA dead-code-eliminate intermediate buffers.
+OUTPUT_PROPERTIES: Final[Set[str]] = {
+    ATOMIC_ENERGIES, TOTAL_ENERGY, FORCES, VIRIAL, ATOMIC_CHARGES,
+    DIPOLE, DIPOLE_MAGNITUDE, POLARIZABILITY, ISO_POLARIZABILITY,
+    SPATIAL_EXTENT, SCALAR_OUTPUT, CARTESIAN_TENSOR,
+    NODE_MAT_BLOCKS, EDGE_MAT_BLOCKS,
+}
 
 # xTB methods
 xTB_METHODS: Final[Dict[str, str]] = {

@@ -43,9 +43,25 @@ def compute_edge_data(
     has_cell = keys.CELL in data
     cell = data.get(keys.CELL)
 
+    # periodic ghost images (ops/spatial_sort.ghost_layout_pbc): ghost
+    # rows' positions are DERIVED here — pos[real] + shift @ cell — so
+    # force/virial gradients flow to the owning real atom; the input
+    # values of ghost position rows are ignored.  Derivation happens
+    # BEFORE the strain is applied: pos·ε then strains the shift term by
+    # exactly cell·ε, keeping the strain-trick virial exact.
+    node_graph = batch
+    if keys.GHOST_MAP in data:
+        gm = data[keys.GHOST_MAP]
+        node_graph = jnp.take(batch, gm, axis=0)  # ghosts: owner's graph
+        gs = data[keys.GHOST_SHIFT].astype(pos.dtype)
+        cell_per_node = jnp.take(cell, node_graph, axis=0)
+        pos = jnp.take(pos, gm, axis=0) + jnp.einsum(
+            "ni,nij->nj", gs, cell_per_node
+        )
+
     if strain is not None:
         symm_strain = 0.5 * (strain + jnp.swapaxes(strain, -1, -2))  # [G,3,3]
-        expanded = jnp.take(symm_strain, batch, axis=0)  # [N,3,3]
+        expanded = jnp.take(symm_strain, node_graph, axis=0)  # [N,3,3]
         pos = pos + jnp.einsum("ni,nij->nj", pos, expanded)
         if has_cell:
             cell = cell + jnp.einsum("gij,gjk->gik", cell, symm_strain)
@@ -59,7 +75,7 @@ def compute_edge_data(
 
     if has_cell:
         cell_offsets = data[keys.CELL_OFFSETS].astype(pos.dtype)
-        batch_neighbor = jnp.take(batch, neighbor_idx, axis=0)
+        batch_neighbor = jnp.take(node_graph, neighbor_idx, axis=0)
         cell_per_edge = jnp.take(cell, batch_neighbor, axis=0)  # [E,3,3]
         shifts = jnp.einsum("ni,nij->nj", cell_offsets, cell_per_edge)
         vectors = vectors - shifts

@@ -124,6 +124,19 @@ class XPainnMessage(nn.Module):
         act = resolve_activation(self.activation)
         cdtype = jnp.dtype(self.compute_dtype)
 
+        # periodic ghost rows: refresh from the owning real atom's current
+        # state before any src gather (update blocks only touch real rows
+        # meaningfully; ghost rows go stale between message blocks).  The
+        # map is the identity on real rows, so this is a no-op for them.
+        if keys.GHOST_MAP in data:
+            gm = data[keys.GHOST_MAP]
+            data[keys.NODE_INVARIANT] = jnp.take(
+                data[keys.NODE_INVARIANT], gm, axis=0
+            )
+            data[keys.NODE_EQUIVARIANT] = jnp.take(
+                data[keys.NODE_EQUIVARIANT], gm, axis=0
+            )
+
         node_scalar = data[keys.NODE_INVARIANT]
         node_equi = data[keys.NODE_EQUIVARIANT]
         if self.layer_norm:

@@ -56,6 +56,21 @@ def _pad128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
+def _dot_precision(mm):
+    """MXU input precision for the kernel dots.
+
+    In f32 mode the one-hot matmuls ARE the gather/scatter; the XLA path
+    they must match uses exact memory ops (take / segment_sum), so the
+    inputs must not be silently truncated to bf16 on the MXU — HIGHEST
+    runs the 3-pass f32 decomposition (measured on chip: default
+    precision costs ~10% max-force deviation vs XLA on 1.4k-atom
+    systems; HIGHEST restores parity).  bf16 mode keeps the fast path —
+    there the caller opted into bf16 rounding everywhere.
+    """
+    return jax.lax.Precision.HIGHEST if mm == jnp.float32 else None
+
+
+
 @functools.lru_cache(maxsize=None)
 def _structure_matrices(irreps_str: str, num_basis: int, node_dim: int):
     """(E1, E2, MS, BY, dims) as numpy f32; cached per configuration.
@@ -158,6 +173,7 @@ def _kernel(
     hp = wf_ref.shape[1]
     sdp = ms_ref.shape[1]
     mm = ef_ref.dtype  # matmul dtype (bf16 in production)
+    prec = _dot_precision(mm)
 
     @pl.when(c == 0)
     def _():
@@ -172,28 +188,28 @@ def _kernel(
     @pl.when(c < n_chunks_ref[b])
     def _():
         ef = ef_ref[...]
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
         onehot_src = (col == src_ref[...][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         filter_out = (gathered[:, :hp] * fw).astype(mm)
-        g1x = jnp.dot(filter_out, e1_ref[...], preferred_element_type=jnp.float32)
-        g2x = jnp.dot(filter_out, e2_ref[...], preferred_element_type=jnp.float32)
-        rshx = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+        g1x = jnp.dot(filter_out, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        g2x = jnp.dot(filter_out, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        rshx = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
         msg_v = (gathered[:, hp:] * g1x + rshx * g2x).astype(mm)
-        msg_s = jnp.dot(filter_out, ms_ref[...], preferred_element_type=jnp.float32).astype(mm)
+        msg_s = jnp.dot(filter_out, ms_ref[...], preferred_element_type=jnp.float32, precision=prec).astype(mm)
 
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
         onehot_dst = (rowb == dst_ref[...][None, :]).astype(mm)
         out_ref[:, :sdp] += jnp.dot(
-            onehot_dst, msg_s, preferred_element_type=jnp.float32
+            onehot_dst, msg_s, preferred_element_type=jnp.float32, precision=prec
         )
         out_ref[:, sdp:] += jnp.dot(
-            onehot_dst, msg_v, preferred_element_type=jnp.float32
+            onehot_dst, msg_v, preferred_element_type=jnp.float32, precision=prec
         )
 
 
@@ -308,6 +324,7 @@ def _bwd_kernel(
     hp = wf_ref.shape[1]
     sdp = ms_ref.shape[1]
     mm = ef_ref.dtype
+    prec = _dot_precision(mm)
 
     @pl.when(jnp.logical_and(b == 0, c == 0))
     def _():
@@ -333,39 +350,39 @@ def _bwd_kernel(
         onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
         gm = jnp.dot(
             onehot_dst, g_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         gms_s = gm[:, :sdp]
         gms_v = gm[:, sdp:]
 
         # recompute forward intermediates (MXU flops, zero HBM)
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
         onehot_src = (col == src_ref[...][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         gs = gathered[:, :hp]
         gv = gathered[:, hp:]
         fo = (gs * fw).astype(mm)
-        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32)
-        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32)
-        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
 
         dgv = (g1 * gms_v).astype(mm)
         dfo = (
             jax.lax.dot_general(
                 (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 gms_s.astype(mm), ms_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         )
         drsh = (g2 * gms_v).astype(mm)
@@ -375,21 +392,21 @@ def _bwd_kernel(
         def_ref[...] = (
             jax.lax.dot_general(
                 dfw, wf_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 drsh, by_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         )
         dwf_ref[...] += jax.lax.dot_general(
-            ef, dfw, contract_lhs0, preferred_element_type=jnp.float32
+            ef, dfw, contract_lhs0, preferred_element_type=jnp.float32, precision=prec
         )
         dxwin_ref[0] += jax.lax.dot_general(
             onehot_src,
             jnp.concatenate([dgs, dgv], axis=-1),
             contract_lhs0,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
 
@@ -562,6 +579,7 @@ def _bwd2_kernel(
     hp = wf_ref.shape[1]
     sdp = ms_ref.shape[1]
     mm = ef_ref.dtype
+    prec = _dot_precision(mm)
     contract_rhs = (((1,), (1,)), ((), ()))  # a[C,K] x m[J,K] -> [C,J]
     contract_lhs0 = (((0,), (0,)), ((), ()))  # a[C,K] x b[C,J] -> [K,J]
 
@@ -594,7 +612,7 @@ def _bwd2_kernel(
         onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
         gm = jnp.dot(
             onehot_dst, g_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         gms_s = gm[:, :sdp]
         gms_v = gm[:, sdp:]
@@ -602,11 +620,11 @@ def _bwd2_kernel(
         onehot_src = (col == src_ref[...][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         cxe = jnp.dot(
             onehot_src, cxwin_ref[...].astype(mm),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         gs = gathered[:, :hp]
         gv = gathered[:, hp:]
@@ -614,44 +632,44 @@ def _bwd2_kernel(
         cxv = cxe[:, hp:]
 
         # recompute forward + first-order intermediates (VMEM-only)
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32)
+        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
         fo = (gs * fw).astype(mm)
-        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32)
-        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32)
-        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
         dfo = (
             jax.lax.dot_general(
                 (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 gms_s.astype(mm), ms_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         )
 
         # second-order terms
-        cefby = jnp.dot(cef, by_ref[...], preferred_element_type=jnp.float32)
+        cefby = jnp.dot(cef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
         r_cot = (
-            jnp.dot(cef, wf_ref[...], preferred_element_type=jnp.float32)
-            + jnp.dot(ef, cwf_ref[...], preferred_element_type=jnp.float32)
+            jnp.dot(cef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
+            + jnp.dot(ef, cwf_ref[...], preferred_element_type=jnp.float32, precision=prec)
         )
         a_cot = (cxh * fw + r_cot * gs).astype(mm)
-        ae1 = jnp.dot(a_cot, e1_ref[...], preferred_element_type=jnp.float32)
-        ae2 = jnp.dot(a_cot, e2_ref[...], preferred_element_type=jnp.float32)
-        ams = jnp.dot(a_cot, ms_ref[...], preferred_element_type=jnp.float32)
+        ae1 = jnp.dot(a_cot, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        ae2 = jnp.dot(a_cot, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        ams = jnp.dot(a_cot, ms_ref[...], preferred_element_type=jnp.float32, precision=prec)
         u_cot = (
             jax.lax.dot_general(
                 (cxv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 (cefby * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         )
         dfw2 = (dfo * cxh + u_cot * gs).astype(mm)  # cotangent on fw
@@ -660,23 +678,23 @@ def _bwd2_kernel(
         d2ef_ref[...] = (
             jax.lax.dot_general(
                 dfw2, wf_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 (gms_v * ae2).astype(mm), by_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
                 dfwr, cwf_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         )
         d2wf_ref[...] += (
             jax.lax.dot_general(
-                ef, dfw2, contract_lhs0, preferred_element_type=jnp.float32
+                ef, dfw2, contract_lhs0, preferred_element_type=jnp.float32, precision=prec
             )
             + jax.lax.dot_general(
-                cef, dfwr, contract_lhs0, preferred_element_type=jnp.float32
+                cef, dfwr, contract_lhs0, preferred_element_type=jnp.float32, precision=prec
             )
         )
         d2xwin_ref[0] += jax.lax.dot_general(
@@ -687,7 +705,7 @@ def _bwd2_kernel(
                 axis=-1,
             ),
             contract_lhs0,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         d2g_rows = jnp.concatenate(
             [ams.astype(mm),
@@ -697,7 +715,7 @@ def _bwd2_kernel(
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
         onehot_dst_t = (rowb == dst_ref[...][None, :]).astype(mm)
         d2g_ref[...] += jnp.dot(
-            onehot_dst_t, d2g_rows, preferred_element_type=jnp.float32
+            onehot_dst_t, d2g_rows, preferred_element_type=jnp.float32, precision=prec
         )
 
 

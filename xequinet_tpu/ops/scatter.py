@@ -26,36 +26,64 @@ _HALO_SPEC: contextvars.ContextVar = contextvars.ContextVar(
 
 
 @contextlib.contextmanager
-def halo_parallel(axis_name: str, axis_size: int, n_local: int, halo: int):
+def halo_parallel(
+    axis_name: str, axis_size: int, n_local: int, halo: int,
+    periodic: bool = False,
+):
     """Trace-time context: scope="edges" aggregations run on a node WINDOW
     of ``halo + n_local + halo`` rows per shard; after each local
     aggregation the halo rows are refreshed from the owning neighbor with
     two boundary ``ppermute``s of [halo, D] rows — O(halo) comm per block
-    instead of the GSPMD path's O(n_nodes) all-reduce."""
-    token = _HALO_SPEC.set((axis_name, axis_size, n_local, halo))
+    instead of the GSPMD path's O(n_nodes) all-reduce.
+
+    ``periodic``: the exchange ring wraps (shard 0's left neighbor is the
+    last shard) — periodic systems decomposed along a lattice direction.
+    Node FEATURES are translation-invariant, so unlike the position
+    window (parallel/halo._exchange_window) no shift is applied to
+    wrapped rows."""
+    token = _HALO_SPEC.set((axis_name, axis_size, n_local, halo, periodic))
     try:
         yield
     finally:
         _HALO_SPEC.reset(token)
 
 
-def _halo_refresh(agg: jnp.ndarray, axis: str, size: int, nl: int, h: int):
+def _halo_refresh(
+    agg: jnp.ndarray, axis: str, size: int, nl: int, h: int,
+    periodic: bool = False,
+):
     """Overwrite the halo rows of a [h+nl+h, ...] window aggregation with
     the neighbors' authoritative local rows.
 
     Left halo of shard i  = shard i-1 rows [nl, nl+h)   (its local tail);
     right halo of shard i = shard i+1 rows [h, 2h)      (its local head).
-    Edge shards hold no left/right neighbor -> ppermute delivers zeros,
-    which is exact for non-wrapping boundaries."""
-    if h == 0 or size == 1:
+    Open boundaries: edge shards hold no left/right neighbor -> ppermute
+    delivers zeros, exact for non-wrapping systems.  ``periodic``: the
+    ring wraps, so shard 0's left halo comes from the LAST shard (and
+    vice versa); with one shard the wrap is a local copy."""
+    if h == 0 or (size == 1 and not periodic):
         return agg
-    left = jax.lax.ppermute(
-        agg[nl : nl + h], axis, [(i, i + 1) for i in range(size - 1)]
-    )
-    right = jax.lax.ppermute(
-        agg[h : 2 * h], axis, [(i, i - 1) for i in range(1, size)]
-    )
+    if size == 1:  # periodic, single shard: wrap is a local copy
+        left = agg[nl : nl + h]
+        right = agg[h : 2 * h]
+        return jnp.concatenate([left, agg[h : h + nl], right], axis=0)
+    left_pairs, right_pairs = _ring_pairs(size, periodic)
+    left = jax.lax.ppermute(agg[nl : nl + h], axis, left_pairs)
+    right = jax.lax.ppermute(agg[h : 2 * h], axis, right_pairs)
     return jnp.concatenate([left, agg[h : h + nl], right], axis=0)
+
+
+def _ring_pairs(size: int, periodic: bool):
+    """(left_pairs, right_pairs) for the boundary exchange: left halo of
+    shard i comes FROM shard i-1, right halo FROM shard i+1; periodic
+    closes the ring ((size-1)->0 and 0->(size-1))."""
+    if periodic:
+        left = [(i, (i + 1) % size) for i in range(size)]
+        right = [(i, (i - 1) % size) for i in range(size)]
+    else:
+        left = [(i, i + 1) for i in range(size - 1)]
+        right = [(i, i - 1) for i in range(1, size)]
+    return left, right
 
 
 def segment_sum(

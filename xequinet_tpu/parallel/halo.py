@@ -54,6 +54,7 @@ def halo_partition(
     cell_offsets: Optional[np.ndarray] = None,
     balance_edges: bool = False,
     edge_cap: Optional[int] = None,
+    periodic: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """Partition one large system into per-shard window subgraphs.
 
@@ -70,6 +71,16 @@ def halo_partition(
     every shard owns exactly ``n_local`` rows of which the leading
     ``len_d`` are real.  The per-shard edge capacity (the padded compute)
     drops from max-over-equal-node-shards to ~E/n_shards.
+
+    ``periodic``: the sorted order is treated as a RING of period
+    ``n_shards * n_local`` (padding rows are dead space inside the ring).
+    Callers pass UNWRAPPED neighbor rows for wrap edges
+    (``src_row + o_axis * period``, possibly negative / >= period); the
+    atomic-number windows wrap cyclically here, and the runtime position
+    window / feature refresh wrap via the cyclic exchange
+    (``_exchange_window`` with ``wrap_shift``, ops/scatter._ring_pairs).
+    Residual image offsets on the non-sort axes still ride
+    ``cell_offsets`` with a per-shard CELL added by the caller.
     """
     n = len(z)
     dst, src = edge_index[0], edge_index[1]
@@ -161,8 +172,11 @@ def halo_partition(
         em[d, :k] = True
         if co is not None:
             co[d, :k] = cell_offsets[s:e]
-        lo, hi = max(base, 0), min(base + w, cap)
-        zw[d, lo - base : hi - base] = zp[lo:hi]
+        if periodic:
+            zw[d] = zp[(base + np.arange(w)) % cap]
+        else:
+            lo, hi = max(base, 0), min(base + w, cap)
+            zw[d, lo - base : hi - base] = zp[lo:hi]
         nm[d, h : h + nl] = real[d * nl : (d + 1) * nl]
         pl[d] = pp[d * nl : (d + 1) * nl]
 
@@ -177,22 +191,47 @@ def halo_partition(
     }
     if co is not None:
         batch[keys.CELL_OFFSETS] = co
-    return batch, {"n_local": nl, "halo": h, "window": w}
+    return batch, {
+        "n_local": nl, "halo": h, "window": w, "periodic": periodic,
+    }
 
 
 def _exchange_window(
-    pos_local: Array, axis: str, size: int, nl: int, h: int
+    pos_local: Array, axis: str, size: int, nl: int, h: int,
+    wrap_shift: Optional[Array] = None,
 ) -> Array:
-    """[nl, 3] owned positions -> [h+nl+h, 3] window via two ppermutes."""
-    if size == 1 or h == 0:
+    """[nl, 3] owned positions -> [h+nl+h, 3] window via two ppermutes.
+
+    ``wrap_shift`` (the lattice vector along the sort axis) closes the
+    exchange ring periodically: shard 0's left halo arrives from the
+    LAST shard translated by -wrap_shift (it holds images one period
+    down), and symmetrically for the last shard's right halo.  The shift
+    is applied in-graph, so force gradients flow back to the owning
+    rows through the ppermute transpose unchanged."""
+    periodic = wrap_shift is not None
+    if h == 0:
         pad = jnp.zeros((h, 3), pos_local.dtype)
         return jnp.concatenate([pad, pos_local, pad], axis=0)
-    left = jax.lax.ppermute(
-        pos_local[nl - h :], axis, [(i, i + 1) for i in range(size - 1)]
-    )
-    right = jax.lax.ppermute(
-        pos_local[:h], axis, [(i, i - 1) for i in range(1, size)]
-    )
+    if size == 1:
+        if periodic:
+            left = pos_local[nl - h :] - wrap_shift
+            right = pos_local[:h] + wrap_shift
+            return jnp.concatenate([left, pos_local, right], axis=0)
+        pad = jnp.zeros((h, 3), pos_local.dtype)
+        return jnp.concatenate([pad, pos_local, pad], axis=0)
+    from ..ops.scatter import _ring_pairs
+
+    left_pairs, right_pairs = _ring_pairs(size, periodic)
+    left = jax.lax.ppermute(pos_local[nl - h :], axis, left_pairs)
+    right = jax.lax.ppermute(pos_local[:h], axis, right_pairs)
+    if periodic:
+        idx = jax.lax.axis_index(axis)
+        left = left - jnp.where(idx == 0, 1.0, 0.0).astype(
+            pos_local.dtype
+        ) * wrap_shift
+        right = right + jnp.where(idx == size - 1, 1.0, 0.0).astype(
+            pos_local.dtype
+        ) * wrap_shift
     return jnp.concatenate([left, pos_local, right], axis=0)
 
 
@@ -210,17 +249,24 @@ def make_halo_forward(
       the ppermute transpose — forces come out exact per owned row;
     * every edge aggregation refreshes its halo rows via
       ops.scatter.halo_parallel (O(halo) comm per block);
-    * energy is the psum of the shard-local masked sums.
+    * energy is the psum of the shard-local masked sums;
+    * periodic systems (``geom["periodic"]``): the exchange ring wraps
+      and the wrapped position rows are translated by ``wrap_shift``
+      (the sort-axis lattice vector), passed per call so NPT-style cell
+      changes never recompile.
     """
     nl, h = geom["n_local"], geom["halo"]
+    periodic = bool(geom.get("periodic", False))
     size = int(mesh.shape[axis])
 
-    def local_energy(pos_local: Array, static_data: DataDict):
-        win = _exchange_window(pos_local, axis, size, nl, h)
+    def local_energy(pos_local: Array, static_data: DataDict, wshift):
+        win = _exchange_window(
+            pos_local, axis, size, nl, h, wshift if periodic else None
+        )
         d = dict(static_data)
         d[keys.POSITIONS] = win
         d = compute_edge_data(d, None)
-        with halo_parallel(axis, size, nl, h):
+        with halo_parallel(axis, size, nl, h, periodic):
             out = apply_fn(d)
         e_local = jnp.sum(out[keys.TOTAL_ENERGY])  # halo rows masked out
         return e_local, out
@@ -228,43 +274,55 @@ def make_halo_forward(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P()),
         out_specs=(P(), P(axis)),
         check_vma=False,
     )
-    def fwd_forces(pos_stacked, data_stacked):
+    def fwd_forces(pos_stacked, data_stacked, wshift):
         pos_local = pos_stacked[0]
         local = {k: v[0] for k, v in data_stacked.items()}
         (e, _), g = jax.value_and_grad(local_energy, has_aux=True)(
-            pos_local, local
+            pos_local, local, wshift
         )
         return jax.lax.psum(e, axis), -g[None]
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def fwd_energy(pos_stacked, data_stacked):
-        e, _ = local_energy(pos_stacked[0], {k: v[0] for k, v in data_stacked.items()})
+    def fwd_energy(pos_stacked, data_stacked, wshift):
+        e, _ = local_energy(
+            pos_stacked[0],
+            {k: v[0] for k, v in data_stacked.items()},
+            wshift,
+        )
         return jax.lax.psum(e, axis)
 
     j_ff = jax.jit(fwd_forces)
     j_fe = jax.jit(fwd_energy)
 
-    def forward(stacked_batch: DataDict, compute_forces: bool = True):
+    def forward(
+        stacked_batch: DataDict,
+        compute_forces: bool = True,
+        wrap_shift=None,
+    ):
         data = {
             k: jnp.asarray(v)
             for k, v in stacked_batch.items()
             if k != keys.POSITIONS
         }
         pos = jnp.asarray(stacked_batch[keys.POSITIONS])
+        ws = jnp.asarray(
+            wrap_shift if wrap_shift is not None else np.zeros(3),
+            dtype=pos.dtype,
+        )
         if compute_forces:
-            e, f = j_ff(pos, data)
+            e, f = j_ff(pos, data, ws)
             return e, f.reshape(-1, 3)
-        return j_fe(pos, data), None
+        return j_fe(pos, data, ws), None
 
     return forward
 
@@ -297,15 +355,18 @@ def make_halo_train_step(
     one GPU's memory are untrainable there.
     """
     nl, h = geom["n_local"], geom["halo"]
+    periodic = bool(geom.get("periodic", False))
     size = int(mesh.shape[axis])
 
-    def local_loss(params, pos_local, static_data, e_label, f_label):
+    def local_loss(params, pos_local, static_data, e_label, f_label, wshift):
         def local_energy(p_loc):
-            win = _exchange_window(p_loc, axis, size, nl, h)
+            win = _exchange_window(
+                p_loc, axis, size, nl, h, wshift if periodic else None
+            )
             d = dict(static_data)
             d[keys.POSITIONS] = win
             d = compute_edge_data(d, None)
-            with halo_parallel(axis, size, nl, h):
+            with halo_parallel(axis, size, nl, h, periodic):
                 out = module_apply(params, d)
             return jnp.sum(out[keys.TOTAL_ENERGY])
 
@@ -322,14 +383,15 @@ def make_halo_train_step(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def sharded_grads(params, pos_stacked, data_stacked, e_label, f_stacked):
+    def sharded_grads(params, pos_stacked, data_stacked, e_label, f_stacked,
+                      wshift):
         local = {k: v[0] for k, v in data_stacked.items()}
         loss, grads = jax.value_and_grad(local_loss)(
-            params, pos_stacked[0], local, e_label, f_stacked[0]
+            params, pos_stacked[0], local, e_label, f_stacked[0], wshift
         )
         # Each shard differentiates the replicated loss through its own
         # local contributions, but with ``check_vma=False`` the replicated
@@ -340,8 +402,8 @@ def make_halo_train_step(
         # tests/test_halo.py::test_halo_train_step_matches_single_device.
         return loss, jax.lax.pmean(grads, axis)
 
-    @jax.jit
-    def step(state, stacked_batch, e_label, f_label_stacked):
+    @partial(jax.jit, static_argnums=())
+    def _step(state, stacked_batch, e_label, f_label_stacked, wshift):
         params, opt_state = state
         data = {
             k: jnp.asarray(v)
@@ -350,32 +412,46 @@ def make_halo_train_step(
         }
         pos = jnp.asarray(stacked_batch[keys.POSITIONS])
         loss, grads = sharded_grads(
-            params, pos, data, e_label, f_label_stacked
+            params, pos, data, e_label, f_label_stacked, wshift
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
+    def step(state, stacked_batch, e_label, f_label_stacked,
+             wrap_shift=None):
+        ws = jnp.asarray(
+            wrap_shift if wrap_shift is not None else np.zeros(3),
+            dtype=jnp.asarray(stacked_batch[keys.POSITIONS]).dtype,
+        )
+        return _step(state, stacked_batch, e_label, f_label_stacked, ws)
+
     return step
 
 
 class HaloCalculator:
-    """Multi-chip single-system calculator: MD on one NON-PBC system too
-    large for a single chip (beyond the reference, whose largest MD
-    system must fit one GPU).
+    """Multi-chip single-system calculator: MD on one system too large
+    for a single chip (beyond the reference, whose largest MD system
+    must fit one GPU).
 
-    Per force call the host sorts atoms along the longest bounding-box
-    axis (the spatial-order contract of :func:`halo_partition`), builds
-    the neighbor list, partitions into fixed-capacity shard windows and
-    runs :func:`make_halo_forward` over the mesh — so a moving system
-    reuses ONE compiled program step to step.  Forces come back exact
-    per owned atom (tests/test_halo.py) and are unsorted to input order.
+    Per force call the host sorts atoms spatially (the spatial-order
+    contract of :func:`halo_partition`), builds the neighbor list,
+    partitions into fixed-capacity shard windows and runs
+    :func:`make_halo_forward` over the mesh — so a moving system reuses
+    ONE compiled program step to step.  Forces come back exact per owned
+    atom (tests/test_halo.py) and are unsorted to input order.
+
+    PERIODIC supercells (the BASELINE.md config-5 workload) sort by
+    fractional coordinate along the widest cell direction; wrap edges
+    carry unwrapped ring rows and the boundary exchange closes
+    periodically with the lattice-vector shift (``_exchange_window``).
+    Residual images on the other axes ride CELL_OFFSETS.
 
     Drop-in for :class:`interface.calculator.Calculator` in the MD
-    driver's ForceField for ``calculate(z, pos)``.  Not supported:
-    PBC (a wrapped edge spans the whole index range, breaking the
-    banded-window contract) and charge/spin embeddings (a global charge
-    cannot be attributed to one spatial shard).
+    driver's ForceField for ``calculate(z, pos[, cell, pbc])``.  Not
+    supported: charge/spin embeddings (a global charge cannot be
+    attributed to one spatial shard) and virial output (use the
+    single-chip Calculator for NPT).
     """
 
     def __init__(
@@ -445,22 +521,43 @@ class HaloCalculator:
         charge=None,
         spin=None,
     ) -> Dict[str, np.ndarray]:
-        from ..ops.radius_graph import radius_graph_np
+        from ..ops.radius_graph import radius_graph_np, radius_graph_pbc_np
+        from ..ops.spatial_sort import index_reach, sort_axis_pbc
 
-        if cell is not None and pbc is not None and np.any(pbc):
-            raise ValueError("HaloCalculator supports non-PBC systems only")
         z = np.asarray(atomic_numbers)
         pos = np.asarray(positions, dtype=np.float64)
         n = len(z)
+        has_cell = cell is not None and pbc is not None and np.any(pbc)
+        nl_exact = _ceil_to((n + self.n_shards - 1) // self.n_shards, 8)
 
-        axis_i = int(np.argmax(pos.max(0) - pos.min(0)))
-        perm = np.argsort(pos[:, axis_i], kind="stable")
-        z_s, pos_s = z[perm], pos[perm]
-        ei, _ = radius_graph_np(pos_s, self.cutoff)
-        order = np.argsort(ei[0], kind="stable")
-        ei = ei[:, order]
+        res_offs = None
+        wrap_shift = None
+        if has_cell:
+            cell = np.asarray(cell, dtype=float)
+            axis_i = sort_axis_pbc(cell, pbc)
+            frac = pos @ np.linalg.inv(cell)
+            perm = np.argsort(frac[:, axis_i], kind="stable")
+            z_s, pos_s = z[perm], pos[perm]
+            ei, offs = radius_graph_pbc_np(pos_s, cell, pbc, self.cutoff)
+            order = np.argsort(ei[0], kind="stable")
+            ei, offs = ei[:, order], offs[order]
+            # sort-axis images become unwrapped RING rows (period = the
+            # padded global row count); other axes stay as offsets
+            o_a = np.round(offs[:, axis_i]).astype(np.int64)
+            period = self.n_shards * nl_exact
+            ei = np.stack([ei[0], ei[1] + o_a * period])
+            res_offs = offs.astype(np.float32)
+            res_offs[:, axis_i] -= o_a
+            wrap_shift = cell[axis_i]
+        else:
+            axis_i = int(np.argmax(pos.max(0) - pos.min(0)))
+            perm = np.argsort(pos[:, axis_i], kind="stable")
+            z_s, pos_s = z[perm], pos[perm]
+            ei, _ = radius_graph_np(pos_s, self.cutoff)
+            order = np.argsort(ei[0], kind="stable")
+            ei = ei[:, order]
 
-        reach = int(np.abs(ei[1] - ei[0]).max()) if ei.shape[1] else 0
+        reach = index_reach(ei[0], ei[1])
         if self._halo is None:
             self._halo = _ceil_to(
                 max(int(reach * self._margin), 8), 8
@@ -471,7 +568,6 @@ class HaloCalculator:
         # (owner = dst // n_local): growing the capacity BEFORE the
         # partition means an MD density fluctuation costs one recompile,
         # never a crash
-        nl_exact = _ceil_to((n + self.n_shards - 1) // self.n_shards, 8)
         need = max(
             _ceil_to(
                 int(np.bincount(ei[0] // nl_exact,
@@ -485,9 +581,15 @@ class HaloCalculator:
             self._edge_cap = _ceil_to(int(need * self._margin), 128)
         stacked, geom = halo_partition(
             z_s, pos_s, ei, self.n_shards, self._halo,
+            cell_offsets=res_offs,
             edge_cap=self._edge_cap,
+            periodic=has_cell,
         )
-        sig = (geom["n_local"], geom["halo"], self._edge_cap)
+        if has_cell:
+            stacked[keys.CELL] = np.broadcast_to(
+                cell.astype(np.float32), (self.n_shards, 1, 3, 3)
+            ).copy()
+        sig = (geom["n_local"], geom["halo"], self._edge_cap, has_cell)
         if sig not in self._fwd_cache:
             from ..data.batching import collate
             from ..data.datapoint import Datapoint
@@ -501,7 +603,9 @@ class HaloCalculator:
             self._fwd_cache[sig] = make_halo_forward(
                 apply_bound, self.mesh, geom, GP_AXIS
             )
-        e, f = self._fwd_cache[sig](stacked, compute_forces=True)
+        e, f = self._fwd_cache[sig](
+            stacked, compute_forces=True, wrap_shift=wrap_shift
+        )
         nl, h = geom["n_local"], geom["halo"]
         nm = stacked[keys.NODE_MASK][:, h : h + nl].reshape(-1)
         f_sorted = np.asarray(f).reshape(-1, 3)[nm]

@@ -45,6 +45,14 @@ def maybe_init_distributed() -> bool:
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
     if "JAX_PROCESS_ID" in os.environ:
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    # CPU multi-process clusters (the reference's gloo fallback,
+    # run/train.py:75) need the gloo cross-process collectives; on TPU
+    # the flag is unused.  Must be set before backend initialization.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(**kwargs)
     _distributed_initialized = True
     return jax.process_count() > 1

@@ -317,10 +317,13 @@ def run_md(config: MDConfig, logger=None) -> MDState:
     ]
     needs_virial = any("npt" in n for n in stage_names)
     from ..utils.compile_cache import enable_compilation_cache
+    from ..utils.precision import set_matmul_precision
 
     enable_compilation_cache(config.compile_cache)
+    set_matmul_precision(config.matmul_precision)
     if config.halo_devices and config.halo_devices > 1:
-        # one large system spanning devices (non-PBC; parallel/halo.py)
+        # one large system spanning devices, free or periodic
+        # (parallel/halo.py)
         from ..parallel.halo import HaloCalculator
 
         calc = HaloCalculator(config.model_file,

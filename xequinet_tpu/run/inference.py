@@ -96,9 +96,19 @@ class InferenceEngine:
             compute_virial,
         )
         if shape_key not in self._jitted:
-            self._jitted[shape_key] = jax.jit(
-                lambda p, b: self.apply_forward(p, b, compute_forces, compute_virial)
-            )
+
+            def _fwd(p, b, cf=compute_forces, cv=compute_virial):
+                out = self.apply_forward(p, b, cf, cv)
+                # project to user-facing outputs inside jit: XLA drops
+                # the intermediate buffers and the device->host fetch
+                # stays small (seconds per call otherwise on a tunneled
+                # TPU backend)
+                return {
+                    k: v for k, v in out.items()
+                    if k in keys.OUTPUT_PROPERTIES
+                }
+
+            self._jitted[shape_key] = jax.jit(_fwd)
         out = self._jitted[shape_key](
             params, {k: jnp.asarray(v) for k, v in batch.items()}
         )

@@ -80,7 +80,13 @@ def run_test(
     # hoisted: a fresh jax.jit wrapper per batch would retrace/recompile
     # the forward for EVERY batch of the verbose dump
     fwd_step = jax.jit(
-        lambda p, b: apply_forward(p, b, compute_forces, compute_virial)
+        lambda p, b: {
+            k: v
+            for k, v in apply_forward(
+                p, b, compute_forces, compute_virial
+            ).items()
+            if k in keys.OUTPUT_PROPERTIES
+        }
     )
     for raw in loader:
         batch = {k: jnp.asarray(v) for k, v in raw.items()}

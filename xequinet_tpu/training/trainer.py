@@ -311,13 +311,39 @@ class Trainer:
         self.best_heap: List[Tuple[float, str]] = []
 
         if self.mesh is not None:
+            from ..parallel.data_parallel import replicate
+
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+            if self.ema_params is not None:
+                self.ema_params = replicate(self.ema_params, self.mesh)
+        self._f32_switched = False
+        self._build_steps(apply_forward)
+
+        os.makedirs(tc.save_dir, exist_ok=True)
+        # install early: preemption can arrive during the first compile
+        self._install_preemption_handler()
+        if tc.resume and tc.ckpt_file and os.path.exists(tc.ckpt_file):
+            self._resume(tc.ckpt_file)
+        elif tc.ckpt_file and os.path.exists(tc.ckpt_file):
+            blob = load_checkpoint(tc.ckpt_file)
+            self.params = restore_params(self.params, blob["model"])
+            if self.ema_params is not None:
+                self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+
+    # ------------------------------------------------------------------
+    def _build_steps(self, apply_forward: Callable) -> None:
+        """(Re)build the jitted train/eval steps around an apply fn —
+        called at init and again by the late-epoch f32 switch."""
+        tc = self.tc
+        self.apply_forward = apply_forward
+        if self.mesh is not None:
             # data-parallel production path: shard_map over the dp axis,
-            # grad pmean / metric psum (replacing the reference's DDP wrap,
-            # run/train.py:167-190)
+            # grad pmean / metric psum (replacing the reference's DDP
+            # wrap, run/train.py:167-190)
             from ..parallel.data_parallel import (
                 make_dp_eval_step,
                 make_dp_train_step,
-                replicate,
             )
 
             core = make_step_core(
@@ -339,10 +365,6 @@ class Trainer:
                 return self.metric(out, batch)
 
             self.eval_step = make_dp_eval_step(eval_core, self.mesh)
-            self.params = replicate(self.params, self.mesh)
-            self.opt_state = replicate(self.opt_state, self.mesh)
-            if self.ema_params is not None:
-                self.ema_params = replicate(self.ema_params, self.mesh)
         else:
             self.train_step = make_train_step(
                 apply_forward,
@@ -355,21 +377,42 @@ class Trainer:
                 self.metric,
             )
             self.eval_step = make_eval_step(
-                apply_forward, self.compute_forces, self.compute_virial, self.metric
+                apply_forward, self.compute_forces, self.compute_virial,
+                self.metric,
             )
 
-        os.makedirs(tc.save_dir, exist_ok=True)
-        # install early: preemption can arrive during the first compile
-        self._install_preemption_handler()
-        if tc.resume and tc.ckpt_file and os.path.exists(tc.ckpt_file):
-            self._resume(tc.ckpt_file)
-        elif tc.ckpt_file and os.path.exists(tc.ckpt_file):
-            blob = load_checkpoint(tc.ckpt_file)
-            self.params = restore_params(self.params, blob["model"])
-            if self.ema_params is not None:
-                self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+    def _maybe_switch_to_f32(self, epoch: int) -> None:
+        """bf16 accuracy mitigation (PERF.md study): re-jit the last
+        ``f32_finetune_epochs`` epochs with float32 compute dtypes.
+        Params are dtype-agnostic, so only the apply fn changes; the
+        model config is updated in place so checkpoints saved after the
+        switch embed f32 (test/inference/MD then run the fine-tuned
+        precision)."""
+        k = getattr(self.tc, "f32_finetune_epochs", 0) or 0
+        if not k or self._f32_switched:
+            return
+        if epoch < self.tc.max_epochs - k:
+            return
+        mk = dict(self.config.model.model_kwargs)
+        if (
+            str(mk.get("compute_dtype", "float32")) == "float32"
+            and str(mk.get("update_compute_dtype", "float32")) == "float32"
+        ):
+            self._f32_switched = True
+            return
+        mk["compute_dtype"] = "float32"
+        mk["update_compute_dtype"] = "float32"
+        from ..models.model import make_apply_forward, resolve_model
 
-    # ------------------------------------------------------------------
+        module, extra, _ = resolve_model(self.config.model.model_name, **mk)
+        self.config.model.model_kwargs = mk
+        self._build_steps(make_apply_forward(module, extra))
+        self._f32_switched = True
+        self._log(
+            f"f32 fine-tune: compute dtypes switched to float32 for the "
+            f"final {k} epoch(s); checkpoints from here embed f32"
+        )
+
     def _loss_weights(self, targets: List[str]) -> Dict[str, float]:
         weights = dict(self.tc.losses_weight or {})
         if not weights:
@@ -552,6 +595,7 @@ class Trainer:
         tc = self.tc
         for epoch in range(self.epoch, tc.max_epochs):
             self.epoch = epoch
+            self._maybe_switch_to_f32(epoch)
             t0 = time.time()
             loss = self.train1epoch()
             results = self.validate()

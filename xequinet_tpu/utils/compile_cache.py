@@ -54,6 +54,16 @@ def enable_compilation_cache(
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)
+    prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if prev is not None and prev != cache_dir:
+        # the cache object is created lazily and pinned to the first
+        # directory; retarget it explicitly
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache even fast-compiling programs: the MD/Calculator bucket set is
     # small and stable, so disk cost is negligible next to restart latency

@@ -59,6 +59,12 @@ class TrainerConfig:
     # $XEQ_COMPILE_CACHE), a path string, or False to disable.  Saves the
     # ~116 s production-combo compile on every restart (PERF.md).
     compile_cache: Any = True
+    # bf16 accuracy mitigation: run the LAST K epochs with
+    # compute_dtype/update_compute_dtype switched to float32 (params are
+    # dtype-agnostic, so the switch is a re-jit).  The embedded model
+    # config in checkpoints saved after the switch is f32, so test/
+    # inference/MD run the fine-tuned precision.  PERF.md bf16 study.
+    f32_finetune_epochs: int = 0
 
 
 @dataclass
@@ -105,14 +111,19 @@ class MDConfig:
     dtype: str = "float32"
     device: Optional[str] = None
     seed: Optional[int] = None
-    # "mega": fused Pallas message kernels on the MD hot loop (non-PBC
-    # systems with bounded sorted-neighbor reach; automatic XLA fallback)
+    # "mega": fused Pallas message kernels on the MD hot loop — free
+    # systems with bounded sorted-neighbor reach AND periodic supercells
+    # (ghost-image layout, ops/spatial_sort); automatic XLA fallback
     pallas: Optional[str] = None
     # >1: run the system halo-decomposed over this many devices (one
-    # large system spanning chips; parallel/halo.HaloCalculator)
+    # large free or periodic system spanning chips;
+    # parallel/halo.HaloCalculator)
     halo_devices: int = 0
     # persistent XLA compilation cache (see TrainerConfig.compile_cache)
     compile_cache: Any = True
+    # None = TPU default (bf16 single-pass MXU); "float32" = exact-f32
+    # dots for accuracy-critical MD/Hessians (utils/precision.py)
+    matmul_precision: Optional[str] = None
 
 
 def _merge_into(obj: Any, data: Dict[str, Any], path: str = "") -> Any:
