@@ -38,10 +38,15 @@ def make_config(db_path: str, save_dir: str, dtype_mode: str,
         output_modes=["energy"],
         remat=False,
     )
-    if dtype_mode == "bf16":
+    if dtype_mode.startswith("bf16"):
         cfg.model.model_kwargs.update(
             compute_dtype="bfloat16", update_compute_dtype="bfloat16"
         )
+    if dtype_mode == "bf16_f32ft":
+        # bf16 mitigation (VERDICT r2 item 6): spend the last 20% of the
+        # budget in f32 — the trainer re-jits with f32 compute dtypes and
+        # embeds f32 in the checkpoint (trainer.f32_finetune_epochs)
+        cfg.trainer.f32_finetune_epochs = max(1, epochs // 5)
     cfg.data.db_path = db_path
     cfg.data.cutoff = 5.0
     cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
@@ -67,13 +72,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--out", default="/tmp/bf16_study")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--modes", default="f32,bf16",
+                    help="comma list of f32 / bf16 / bf16_f32ft")
     args = ap.parse_args()
 
     from xequinet_tpu.run.test import run_test
     from xequinet_tpu.run.train import run_train
 
     results = {}
-    for mode in ("f32", "bf16"):
+    for mode in args.modes.split(","):
         save_dir = str(Path(args.out) / mode)
         Path(save_dir).mkdir(parents=True, exist_ok=True)
         cfg = make_config(args.db_path, save_dir, mode, args.epochs, tiny=args.tiny)

@@ -141,14 +141,15 @@ def main():
                window, max_chunks, "bfloat16", True)
 
     def time_fn(fn, *args, iters=20):
+        # block_until_ready syncs WITHOUT a device->host transfer — the
+        # kernel outputs are 100+ MB and fetching them through the axon
+        # tunnel would dominate the measurement by 10-100x
         out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(x).ravel()[0], out
-        )  # value-fetch sync
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[0], out)
+        jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
     f_fwd = jax.jit(lambda x: fused_message(x, ef, wf, slot_meta, em,
