@@ -530,3 +530,44 @@ def test_f32_finetune_switch(tmp_path):
     mk = blob["config"]["model_kwargs"]
     assert mk["compute_dtype"] == "float32"
     assert mk["update_compute_dtype"] == "float32"
+
+
+# ---------------------------------------------------------------------------
+# jit output projection: the MD hot loop must fetch ONLY user-facing
+# outputs (fetching the full blackboard dict through a tunneled TPU
+# backend cost ~25 s/call — PERF.md round-3; a regression here is
+# invisible on CPU except through these key sets)
+# ---------------------------------------------------------------------------
+def test_calculator_jit_outputs_are_projected(mini_ckpt):
+    from xequinet_tpu.interface.calculator import Calculator
+
+    rng = np.random.default_rng(3)
+    z = rng.integers(1, 5, 12).astype(np.int32)
+    pos = rng.normal(size=(12, 3)) * 2.0
+
+    # free path
+    calc = Calculator(mini_ckpt)
+    calc.calculate(z, pos)
+    # PBC path
+    cell = np.eye(3) * 12.0
+    calc_p = Calculator(mini_ckpt, compute_virial=True)
+    calc_p.calculate(z, pos % 12.0, cell=cell,
+                     pbc=np.array([True] * 3))
+
+    res = calc.calculate(z, pos)
+    assert set(res) <= keys.OUTPUT_PROPERTIES
+    res_p = calc_p.calculate(z, pos % 12.0, cell=cell,
+                             pbc=np.array([True] * 3))
+    assert set(res_p) <= keys.OUTPUT_PROPERTIES
+
+
+def test_inference_engine_outputs_are_projected(mini_ckpt):
+    from xequinet_tpu.run.inference import InferenceEngine
+
+    rng = np.random.default_rng(4)
+    z = rng.integers(1, 5, 9).astype(np.int32)
+    pos = rng.normal(size=(9, 3)) * 2.0
+    eng = InferenceEngine(mini_ckpt)
+    (res,) = eng.predict([Datapoint(z, pos)])
+    assert set(res) <= keys.OUTPUT_PROPERTIES
+    assert keys.TOTAL_ENERGY in res and keys.FORCES in res

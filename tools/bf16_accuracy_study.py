@@ -38,7 +38,11 @@ def make_config(db_path: str, save_dir: str, dtype_mode: str,
         output_modes=["energy"],
         remat=False,
     )
-    if dtype_mode.startswith("bf16"):
+    if dtype_mode == "bf16msg":
+        # bf16 message pipeline only; update blocks (the deep residual
+        # chain where rounding accumulates) stay f32
+        cfg.model.model_kwargs.update(compute_dtype="bfloat16")
+    elif dtype_mode.startswith("bf16"):
         cfg.model.model_kwargs.update(
             compute_dtype="bfloat16", update_compute_dtype="bfloat16"
         )

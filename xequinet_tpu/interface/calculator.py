@@ -342,6 +342,9 @@ class Calculator:
                 }
 
             self._jitted[key] = jax.jit(eval_mega)
+        # kept for tooling (tools/md_breakdown.py): the exact per-call
+        # host batch, so upload/exec/fetch can be timed separately
+        self._last_mega_batch = batch
         out = self._jitted[key]({k: jnp.asarray(v) for k, v in batch.items()})
         out = jax.device_get(out)
 
