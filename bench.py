@@ -188,13 +188,20 @@ def md_hotloop_pbc_metric(rng, iters=5):
     zb = rng.integers(1, 9, size=nb).astype(np.int32)
     ei_b, _ = radius_graph_pbc_np(posb, cellb, pbc, 5.0)
     n_edges = ei_b.shape[1]
-    e_cap = 1 << int(np.ceil(np.log2(n_edges * 1.2)))
-    calc = Calculator(ckpt, pallas="mega", max_atoms=10240, max_edges=e_cap)
+    # production MD configuration (PERF.md round-3 breakdown): tight
+    # chunk-aligned capacity sized for the cutoff+skin list, and a
+    # Verlet skin so steady-state steps upload only positions
+    e_cap = ((int(n_edges * 1.55) + 1023) // 1024) * 1024
+    calc = Calculator(ckpt, pallas="mega", skin=0.5,
+                      max_atoms=10240, max_edges=e_cap)
     calc.calculate(zb, posb, cell=cellb, pbc=pbc)  # compile + warm
     assert calc._mega and "geom" in calc._mega, "mega path must run"
+    pos = posb
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = calc.calculate(zb, posb, cell=cellb, pbc=pbc)
+        # MD-like drift (well under skin/2 per step at ~1 fs scale)
+        pos = pos + rng.normal(size=pos.shape) * 0.01
+        res = calc.calculate(zb, pos, cell=cellb, pbc=pbc)
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(res[keys.TOTAL_ENERGY])
     return n_edges / dt, dt, n_edges

@@ -571,3 +571,95 @@ def test_inference_engine_outputs_are_projected(mini_ckpt):
     (res,) = eng.predict([Datapoint(z, pos)])
     assert set(res) <= keys.OUTPUT_PROPERTIES
     assert keys.TOTAL_ENERGY in res and keys.FORCES in res
+
+
+# ---------------------------------------------------------------------------
+# Verlet skin neighbor-list reuse (interface/calculator.py skin path)
+# ---------------------------------------------------------------------------
+def _pbc_system(rng, n=40, lx=22.0):
+    cell = np.diag([lx, 11.0, 11.0])
+    pos = np.column_stack([
+        rng.uniform(0, lx, n), rng.uniform(0, 11.0, size=(n, 2))
+    ])
+    z = rng.integers(1, 5, n).astype(np.int32)
+    return z, pos, cell, np.array([True, True, True])
+
+
+def test_skin_calculator_matches_plain_pbc(mini_ckpt):
+    """skin>0 must give the same energy/forces/virial as skin=0 across
+    an MD-like perturbation series, while rebuilding the neighbor list
+    only when an atom drifts skin/2."""
+    from xequinet_tpu.interface.calculator import Calculator
+
+    rng = np.random.default_rng(7)
+    z, pos, cell, pbc = _pbc_system(rng)
+    ref = Calculator(mini_ckpt, compute_virial=True)
+    fast = Calculator(mini_ckpt, compute_virial=True, skin=0.6)
+
+    rebuilds_seen = []
+    for step in range(6):
+        r0 = ref.calculate(z, pos, cell=cell, pbc=pbc)
+        r1 = fast.calculate(z, pos, cell=cell, pbc=pbc)
+        fs = np.abs(r0[keys.FORCES]).max()
+        assert abs(
+            r1[keys.TOTAL_ENERGY] - r0[keys.TOTAL_ENERGY]
+        ) < 1e-4 * max(abs(r0[keys.TOTAL_ENERGY]), 1.0)
+        assert np.abs(
+            r1[keys.FORCES] - r0[keys.FORCES]
+        ).max() < 1e-3 * fs + 1e-5
+        vs = np.abs(r0[keys.VIRIAL]).max()
+        assert np.abs(
+            r1[keys.VIRIAL] - r0[keys.VIRIAL]
+        ).max() < 1e-3 * vs + 1e-4
+        rebuilds_seen.append(fast.n_rebuilds)
+        # small MD-like drift: stays within skin/2 for several steps
+        pos = pos + rng.normal(size=pos.shape) * 0.03
+    # first call built; the following small-drift calls reused the list
+    assert rebuilds_seen[0] == 1
+    assert fast.n_rebuilds < 6
+
+    # a large jump (e.g. a PBC wrap) must force a rebuild
+    before = fast.n_rebuilds
+    pos_jump = pos.copy()
+    pos_jump[0, 0] += 5.0
+    fast.calculate(z, pos_jump, cell=cell, pbc=pbc)
+    assert fast.n_rebuilds == before + 1
+
+    # an NPT cell move must force a rebuild
+    before = fast.n_rebuilds
+    fast.calculate(z, pos_jump, cell=cell * 1.01, pbc=pbc)
+    assert fast.n_rebuilds == before + 1
+
+
+def test_skin_calculator_free_mega_interpret(mini_ckpt):
+    """skin>0 through the mega path (free system, interpret mode):
+    list reuse keeps results equal to the plain Calculator."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from xequinet_tpu.interface.calculator import Calculator
+
+    rng = np.random.default_rng(8)
+    n = 1200
+    x = np.arange(n) * 1.1 + rng.normal(size=n) * 0.05
+    pos = np.column_stack([x, rng.uniform(0, 8.0, size=(n, 2))])
+    z = rng.integers(1, 5, n).astype(np.int32)
+
+    caps = dict(max_atoms=2048, max_edges=16384)
+    ref = Calculator(mini_ckpt, **caps)
+    fast = Calculator(mini_ckpt, pallas="mega", skin=0.6, **caps)
+
+    for step in range(3):
+        r0 = ref.calculate(z, pos)
+        with pltpu.force_tpu_interpret_mode():
+            r1 = fast.calculate(z, pos)
+        assert fast._skin_state is not None
+        assert fast._skin_state["kind"] == "mega"
+        fs = np.abs(r0[keys.FORCES]).max()
+        assert abs(
+            r1[keys.TOTAL_ENERGY] - r0[keys.TOTAL_ENERGY]
+        ) < 1e-4 * max(abs(r0[keys.TOTAL_ENERGY]), 1.0)
+        assert np.abs(
+            r1[keys.FORCES] - r0[keys.FORCES]
+        ).max() < 1e-3 * fs + 1e-5
+        pos = pos + rng.normal(size=pos.shape) * 0.03
+    assert fast.n_rebuilds == 1  # the two drift steps reused the list

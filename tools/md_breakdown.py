@@ -60,13 +60,14 @@ def main() -> None:
     ne = ei_b.shape[1]
     print(f"supercell: {nb} atoms, {ne} edges")
 
-    for e_cap, label in (
-        (1 << int(np.ceil(np.log2(ne * 1.2))), "pow2 e_cap"),
-        (((int(ne * 1.15) + 1023) // 1024) * 1024, "tight e_cap"),
+    for e_cap, label, skin in (
+        (1 << int(np.ceil(np.log2(ne * 1.2))), "pow2 e_cap", 0.0),
+        (((int(ne * 1.15) + 1023) // 1024) * 1024, "tight e_cap", 0.0),
+        (((int(ne * 1.55) + 1023) // 1024) * 1024, "skin=0.5 e_cap", 0.5),
     ):
         for pallas in (None, "mega"):
             name = f"{label}={e_cap} pallas={pallas}"
-            calc = Calculator(ckptf, pallas=pallas,
+            calc = Calculator(ckptf, pallas=pallas, skin=skin,
                               max_atoms=10240, max_edges=e_cap)
             pos = posb.copy()
             calc.calculate(zb, pos, cell=cellb, pbc=pbc3)  # compile

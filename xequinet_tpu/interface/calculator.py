@@ -49,6 +49,7 @@ class Calculator:
         pallas: Optional[str] = None,
         compile_cache: object = True,
         matmul_precision: Optional[str] = None,
+        skin: float = 0.0,
     ) -> None:
         from ..run.test import load_model_from_checkpoint
         from ..utils.compile_cache import enable_compilation_cache
@@ -84,6 +85,17 @@ class Calculator:
         self._pallas = pallas
         self._mc = mc
         self._mega = None  # lazily built (apply_forward, layout) cache
+        # Verlet skin list: build host neighbor lists at cutoff+skin and
+        # reuse them until any atom moves skin/2 — between rebuilds a
+        # call uploads ONLY positions (the static edge/slot arrays stay
+        # device-resident) and the in-graph EDGE_CUTOFF tightening masks
+        # pairs currently beyond the model cutoff
+        # (models/properties.compute_edge_data).  The reference rebuilds
+        # its neighbor list every MD step
+        # (/root/reference/xequinet/interface/ase_calculator.py:68-73).
+        self.skin = float(skin)
+        self._skin_state: Optional[Dict] = None
+        self.n_rebuilds = 0  # observable (tests, tools/md_breakdown)
 
     # ------------------------------------------------------------------
     def _capacities(self, n_atoms: int) -> Tuple[int, int]:
@@ -307,6 +319,12 @@ class Calculator:
             batch = _apply_kernel_layout(batch, layout)
         except ValueError:
             return None  # e.g. a source outside its window: XLA path
+        if self.skin > 0.0:
+            # edges were built at cutoff+skin; mask to the model cutoff
+            # in-graph (compute_edge_data) so the list can be reused
+            batch[keys.EDGE_CUTOFF] = np.array(
+                [self.cutoff], dtype=np.float32
+            )
         mx = int(batch[keys.K_NCHUNKS].max())
         mx_cap = prev["mx"] if (prev and prev["mx"] >= mx) else mx + max(
             2, mx // 4
@@ -345,7 +363,27 @@ class Calculator:
         # kept for tooling (tools/md_breakdown.py): the exact per-call
         # host batch, so upload/exec/fetch can be timed separately
         self._last_mega_batch = batch
-        out = self._jitted[key]({k: jnp.asarray(v) for k, v in batch.items()})
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = self._jitted[key](dev_batch)
+        if self.skin > 0.0:
+            self.n_rebuilds += 1
+            self._skin_state = {
+                "kind": "mega",
+                "key": key,
+                "n": n,
+                "rows": batch[keys.POSITIONS].shape[0],
+                "n_ext": n_ext,
+                "ext_real": ext_real,
+                "real_rank": real_rank,
+                "pos_build": np.array(positions, dtype=np.float64),
+                "cell": None if cell is None else np.array(cell),
+                "charge": charge,
+                "spin": spin,
+                "dev_static": {
+                    k: v for k, v in dev_batch.items()
+                    if k != keys.POSITIONS
+                },
+            }
         out = jax.device_get(out)
 
         result = {
@@ -357,6 +395,77 @@ class Calculator:
                 result[k] = np.asarray(out[k])[real_rank]
         if self.compute_virial and keys.VIRIAL in out:
             result[keys.VIRIAL] = np.asarray(out[keys.VIRIAL])[0]
+        return result
+
+    # ------------------------------------------------------------------
+    def _skin_fast(
+        self, atomic_numbers, positions, cell, charge, spin,
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """Reuse the last neighbor build if no atom moved skin/2.
+
+        Uploads ONLY positions; the edge/slot arrays stay device-resident
+        and the compiled program's in-graph EDGE_CUTOFF mask excludes
+        pairs currently beyond the model cutoff.  Returns None when a
+        rebuild is needed (drift, cell change, different system)."""
+        st = self._skin_state
+        n = len(atomic_numbers)
+        if (
+            st is None
+            or st["n"] != n
+            or st["charge"] != charge
+            or st["spin"] != spin
+        ):
+            return None
+        if (st["cell"] is None) != (cell is None):
+            return None
+        if st["cell"] is not None and not np.array_equal(
+            st["cell"], np.asarray(cell, dtype=float)
+        ):
+            return None  # NPT cell move: rebuild
+        disp2 = ((np.asarray(positions, dtype=np.float64)
+                  - st["pos_build"]) ** 2).sum(axis=1).max()
+        if disp2 >= (0.5 * self.skin) ** 2:
+            return None
+        if st["kind"] == "mega":
+            pos_s = np.zeros((st["rows"], 3), dtype=np.float32)
+            pos_s[: st["n_ext"]] = positions[st["ext_real"]]
+            data = dict(st["dev_static"])
+            data[keys.POSITIONS] = jnp.asarray(pos_s)
+            out = jax.device_get(self._jitted[st["key"]](data))
+            result = {
+                keys.TOTAL_ENERGY: float(
+                    np.asarray(out[keys.TOTAL_ENERGY])[0]
+                ),
+            }
+            rr = st["real_rank"]
+            for k in (keys.FORCES, keys.ATOMIC_CHARGES,
+                      keys.ATOMIC_ENERGIES):
+                if k in out:
+                    result[k] = np.asarray(out[k])[rr]
+            if self.compute_virial and keys.VIRIAL in out:
+                result[keys.VIRIAL] = np.asarray(out[keys.VIRIAL])[0]
+            return result
+        # "pbc": the XLA path's (pos, ei, em, co, sb) signature
+        pos_pad = np.zeros((st["n_cap"], 3), dtype=np.float32)
+        pos_pad[:n] = positions
+        out = jax.device_get(self._jitted[st["key"]](
+            jnp.asarray(pos_pad), st["ei_dev"], st["em_dev"],
+            st["co_dev"], st["sb_dev"],
+        ))
+        result = {
+            keys.TOTAL_ENERGY: float(np.asarray(out[keys.TOTAL_ENERGY])[0]),
+            keys.FORCES: np.asarray(out[keys.FORCES])[:n],
+        }
+        if self.compute_virial and keys.VIRIAL in out:
+            result[keys.VIRIAL] = np.asarray(out[keys.VIRIAL])[0]
+        if keys.ATOMIC_CHARGES in out:
+            result[keys.ATOMIC_CHARGES] = np.asarray(
+                out[keys.ATOMIC_CHARGES]
+            )[:n]
+        if keys.ATOMIC_ENERGIES in out:
+            result[keys.ATOMIC_ENERGIES] = np.asarray(
+                out[keys.ATOMIC_ENERGIES]
+            )[:n]
         return result
 
     # ------------------------------------------------------------------
@@ -374,17 +483,29 @@ class Calculator:
         n_cap, e_cap = self._capacities(n)
         has_cell = cell is not None and pbc is not None and np.any(pbc)
 
+        if self.skin > 0.0 and self._skin_state is not None:
+            res = self._skin_fast(
+                np.asarray(atomic_numbers), np.asarray(positions),
+                cell if has_cell else None, charge, spin,
+            )
+            if res is not None:
+                return res
+
         static_batch = self._make_batch(
             n_cap, e_cap, atomic_numbers, charge, spin, cell if has_cell else None
         )
         pos_pad = np.zeros((n_cap, 3), dtype=np.float32)
         pos_pad[:n] = positions
 
+        # skin > 0: host lists are built at cutoff+skin and reused until
+        # an atom drifts skin/2 (_skin_fast); EDGE_CUTOFF masks in-graph
+        r_build = self.cutoff + self.skin
+
         data_probe = dict(static_batch)
         data_probe[keys.POSITIONS] = pos_pad
         if has_cell:
             # host neighbor build with padded static capacity
-            ei, offs = radius_graph_pbc_np(positions, cell, pbc, self.cutoff)
+            ei, offs = radius_graph_pbc_np(positions, cell, pbc, r_build)
             if self._pallas == "mega":
                 res = self._calculate_mega(
                     np.asarray(atomic_numbers), np.asarray(positions),
@@ -408,7 +529,13 @@ class Calculator:
             edge_mask = np.arange(e_cap) < ne
             cell_offsets = np.zeros((e_cap, 3), dtype=np.float32)
             cell_offsets[:ne] = offs
-            key = ("pbc", n_cap, e_cap, charge is not None, spin is not None)
+            if self.skin > 0.0:
+                static_batch = dict(static_batch)
+                static_batch[keys.EDGE_CUTOFF] = np.array(
+                    [self.cutoff], dtype=np.float32
+                )
+            key = ("pbc", n_cap, e_cap, charge is not None, spin is not None,
+                   self.skin > 0.0)
             data_probe[keys.EDGE_INDEX] = edge_index
             data_probe[keys.EDGE_MASK] = edge_mask
             data_probe[keys.CELL_OFFSETS] = cell_offsets
@@ -419,18 +546,38 @@ class Calculator:
                         pos, ei_, em_, co_, sb
                     )
                 )
+            ei_dev = jnp.asarray(edge_index)
+            em_dev = jnp.asarray(edge_mask)
+            co_dev = jnp.asarray(cell_offsets)
+            sb_dev = {k: jnp.asarray(v) for k, v in static_batch.items()}
             out = self._jitted[key](
-                jnp.asarray(pos_pad),
-                jnp.asarray(edge_index),
-                jnp.asarray(edge_mask),
-                jnp.asarray(cell_offsets),
-                {k: jnp.asarray(v) for k, v in static_batch.items()},
+                jnp.asarray(pos_pad), ei_dev, em_dev, co_dev, sb_dev,
             )
+            if self.skin > 0.0:
+                self.n_rebuilds += 1
+                self._skin_state = {
+                    "kind": "pbc",
+                    "key": key,
+                    "n": n,
+                    "n_cap": n_cap,
+                    "pos_build": np.array(positions, dtype=np.float64),
+                    "cell": np.array(cell, dtype=float),
+                    "charge": charge,
+                    "spin": spin,
+                    "ei_dev": ei_dev,
+                    "em_dev": em_dev,
+                    "co_dev": co_dev,
+                    "sb_dev": sb_dev,
+                }
         else:
             # device-side neighbor rebuild: probe with host edges for init
             from ..ops.radius_graph import radius_graph_np
 
-            ei, _ = radius_graph_np(positions, self.cutoff)
+            ei, _ = radius_graph_np(
+                positions,
+                r_build if (self._pallas == "mega" and self.skin > 0.0)
+                else self.cutoff,
+            )
             if self._pallas == "mega":
                 res = self._calculate_mega(
                     np.asarray(atomic_numbers), np.asarray(positions),

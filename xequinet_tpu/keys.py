@@ -118,6 +118,12 @@ SPATIAL_EXTENT: Final[str] = "spatial_extent"
 SCALAR_OUTPUT: Final[str] = "scalar_output"
 CARTESIAN_TENSOR: Final[str] = "cartesian_tensor"
 
+# Verlet skin lists (interface/calculator.py): when present, the edge
+# list was built at cutoff+skin and compute_edge_data tightens EDGE_MASK
+# to dist <= EDGE_CUTOFF in-graph — so the same compiled program serves
+# every MD step between rebuilds with only positions re-uploaded
+EDGE_CUTOFF: Final[str] = "edge_cutoff"
+
 # every key a forward pass can emit as a USER-FACING output.  The
 # interface layers project the blackboard dict onto this set INSIDE the
 # jitted program before fetching from device: the intermediates

@@ -87,6 +87,16 @@ def compute_edge_data(
     safe_vec = jnp.where(mask, vectors, 1.0)
     dist = jnp.where(edge_mask, jnp.linalg.norm(safe_vec, axis=-1), 0.0)
 
+    # Verlet skin list: the edge list was built at cutoff+skin; exclude
+    # pairs currently beyond the model cutoff.  Every downstream edge
+    # contribution (XLA segment_sum, v2 and mega kernels) is gated on
+    # EDGE_MASK, so the same compiled program serves all steps between
+    # rebuilds (interface/calculator.py skin path).
+    if keys.EDGE_CUTOFF in data:
+        rc = jnp.reshape(data[keys.EDGE_CUTOFF], ()).astype(dist.dtype)
+        edge_mask = edge_mask & (dist <= rc)
+        data[keys.EDGE_MASK] = edge_mask
+
     data[keys.EDGE_VECTOR] = vectors
     data[keys.EDGE_LENGTH] = dist
     return data

@@ -330,7 +330,7 @@ def run_md(config: MDConfig, logger=None) -> MDState:
                               n_shards=config.halo_devices)
     else:
         calc = Calculator(config.model_file, compute_virial=needs_virial,
-                          pallas=config.pallas)
+                          pallas=config.pallas, skin=config.skin)
     ff = ForceField(
         calc, dp.atomic_numbers,
         cell=dp.cell if dp.has_cell else None,

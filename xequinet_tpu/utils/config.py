@@ -124,6 +124,12 @@ class MDConfig:
     # None = TPU default (bf16 single-pass MXU); "float32" = exact-f32
     # dots for accuracy-critical MD/Hessians (utils/precision.py)
     matmul_precision: Optional[str] = None
+    # Verlet skin (model length units): build neighbor lists at
+    # cutoff+skin and reuse them until an atom drifts skin/2 — between
+    # rebuilds an MD step uploads only positions
+    # (interface/calculator.py).  0 = rebuild every step (reference
+    # behaviour, ase_calculator.py:68-73)
+    skin: float = 0.0
 
 
 def _merge_into(obj: Any, data: Dict[str, Any], path: str = "") -> Any:
