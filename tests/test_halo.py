@@ -375,3 +375,100 @@ def test_run_md_halo_matches_single_device(tmp_path, rng):
     np.testing.assert_allclose(
         halo[-1].pos, ref[-1].pos, rtol=1e-4, atol=1e-5
     )
+
+
+def test_halo_dp_train_step_matches_single_device(model_and_params, rng):
+    """2-D dp x halo (parallel/halo.make_halo_dp_train_step): one
+    optimizer step over a BATCH of 2 large systems, each decomposed over
+    4 shards (mesh (2, 4)), equals the single-device step on the
+    dp-mean loss — identical loss and updated parameters."""
+    import optax
+
+    from xequinet_tpu.models.properties import compute_edge_data
+    from xequinet_tpu.parallel.halo import (
+        make_halo_dp_train_step, stack_halo_systems,
+    )
+
+    module, extra, params = model_and_params
+    n = 96
+    systems = [_chain_system(rng, n=n) for _ in range(2)]
+    e_labels = [float(rng.normal()) * 5.0 for _ in range(2)]
+    f_labels = [rng.normal(size=(n, 3)).astype(np.float32)
+                for _ in range(2)]
+    wE, wF = 1.0, 10.0
+
+    # --- single-device reference: dp-mean of the per-system losses ---
+    def one_ref_loss(p, z, pos, ei, e_label, f_label):
+        batch = collate([Datapoint(z, pos, edge_index=ei)])
+        data0 = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def energy_of(pp):
+            d = dict(data0)
+            d[keys.POSITIONS] = pp
+            d = compute_edge_data(d, None)
+            out = module.apply({"params": p}, d)
+            return jnp.sum(
+                jnp.where(d[keys.GRAPH_MASK], out[keys.TOTAL_ENERGY], 0.0)
+            )
+
+        e, g = jax.value_and_grad(energy_of)(data0[keys.POSITIONS])
+        forces = -g
+        nm = data0[keys.NODE_MASK]
+        sq = jnp.where(
+            nm[:, None],
+            (forces[: nm.shape[0]] - jnp.asarray(
+                np.pad(f_label, ((0, nm.shape[0] - n), (0, 0)))
+            )) ** 2,
+            0.0,
+        )
+        return wE * (e - e_label) ** 2 + wF * jnp.sum(sq) / (3.0 * n)
+
+    def ref_loss(p):
+        return sum(
+            one_ref_loss(p, z, pos, ei, el, fl)
+            for (z, pos, ei), el, fl in zip(systems, e_labels, f_labels)
+        ) / 2.0
+
+    optimizer = optax.sgd(1e-4)
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    # --- dp x halo over a (2, 4) mesh ---
+    n_shards = 4
+    e_cap = max(
+        int(np.ceil(len(ei[0]) / n_shards) * 2) for _, _, ei in systems
+    )
+    parts = [
+        halo_partition(z, pos, ei, n_shards, halo=16, edge_cap=e_cap)
+        for z, pos, ei in systems
+    ]
+    stacked, geom = stack_halo_systems(
+        [p[0] for p in parts], [p[1] for p in parts]
+    )
+    nl = geom["n_local"]
+    f_stacked = np.zeros((2, n_shards, nl, 3), dtype=np.float32)
+    for d, fl in enumerate(f_labels):
+        f_pad = np.zeros((n_shards * nl, 3), dtype=np.float32)
+        f_pad[:n] = fl
+        f_stacked[d] = f_pad.reshape(n_shards, nl, 3)
+
+    mesh = make_mesh(8, axis_names=("dp", GP_AXIS), shape=(2, 4))
+    step = make_halo_dp_train_step(
+        lambda p, d: module.apply({"params": p}, d), mesh, geom,
+        optimizer, energy_weight=wE, forces_weight=wF,
+    )
+    state = (params, optimizer.init(params))
+    (params_new, _), loss = step(
+        state, stacked, np.asarray(e_labels, dtype=np.float32),
+        jnp.asarray(f_stacked),
+    )
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_new),
+        jax.tree_util.tree_leaves(params_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )

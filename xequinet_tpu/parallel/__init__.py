@@ -7,7 +7,8 @@ from .data_parallel import (
 )
 from .edge_partition import make_edge_parallel_forward, shard_batch
 from .halo import (HaloCalculator, halo_partition, make_halo_forward,
-                   make_halo_train_step)
+                   make_halo_dp_train_step, make_halo_train_step,
+                   stack_halo_systems)
 from .mesh import DP_AXIS, GP_AXIS, make_mesh
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "stack_device_batches", "device_put_sharded_batch",
     "make_edge_parallel_forward", "shard_batch",
     "halo_partition", "make_halo_forward", "make_halo_train_step",
+    "make_halo_dp_train_step", "stack_halo_systems",
     "HaloCalculator",
 ]

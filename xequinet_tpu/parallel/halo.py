@@ -327,6 +327,47 @@ def make_halo_forward(
     return forward
 
 
+def _make_halo_local_loss(
+    module_apply: Callable[[Dict, DataDict], DataDict],
+    axis: str,
+    size: int,
+    nl: int,
+    h: int,
+    periodic: bool,
+    energy_weight: float,
+    forces_weight: float,
+):
+    """Per-shard loss of ONE halo-decomposed system: energy squared
+    error + mean squared force error over owned real atoms, with the
+    psums riding the given mesh axis.  Shared by the single-system
+    (:func:`make_halo_train_step`) and the dp-batched
+    (:func:`make_halo_dp_train_step`) trainers."""
+
+    def local_loss(params, pos_local, static_data, e_label, f_label, wshift):
+        def local_energy(p_loc):
+            win = _exchange_window(
+                p_loc, axis, size, nl, h, wshift if periodic else None
+            )
+            d = dict(static_data)
+            d[keys.POSITIONS] = win
+            d = compute_edge_data(d, None)
+            with halo_parallel(axis, size, nl, h, periodic):
+                out = module_apply(params, d)
+            return jnp.sum(out[keys.TOTAL_ENERGY])
+
+        e_local, g_pos = jax.value_and_grad(local_energy)(pos_local)
+        forces = -g_pos  # [nl, 3], exact per owned row
+        energy = jax.lax.psum(e_local, axis)
+        mask = static_data[keys.NODE_MASK][h : h + nl]
+        n_real = jax.lax.psum(jnp.sum(mask), axis)
+        sq = jnp.where(mask[:, None], (forces - f_label) ** 2, 0.0)
+        loss_f = jax.lax.psum(jnp.sum(sq), axis) / (3.0 * n_real)
+        loss_e = (energy - e_label) ** 2
+        return energy_weight * loss_e + forces_weight * loss_f
+
+    return local_loss
+
+
 def make_halo_train_step(
     module_apply: Callable[[Dict, DataDict], DataDict],
     mesh: Mesh,
@@ -358,27 +399,10 @@ def make_halo_train_step(
     periodic = bool(geom.get("periodic", False))
     size = int(mesh.shape[axis])
 
-    def local_loss(params, pos_local, static_data, e_label, f_label, wshift):
-        def local_energy(p_loc):
-            win = _exchange_window(
-                p_loc, axis, size, nl, h, wshift if periodic else None
-            )
-            d = dict(static_data)
-            d[keys.POSITIONS] = win
-            d = compute_edge_data(d, None)
-            with halo_parallel(axis, size, nl, h, periodic):
-                out = module_apply(params, d)
-            return jnp.sum(out[keys.TOTAL_ENERGY])
-
-        e_local, g_pos = jax.value_and_grad(local_energy)(pos_local)
-        forces = -g_pos  # [nl, 3], exact per owned row
-        energy = jax.lax.psum(e_local, axis)
-        mask = static_data[keys.NODE_MASK][h : h + nl]
-        n_real = jax.lax.psum(jnp.sum(mask), axis)
-        sq = jnp.where(mask[:, None], (forces - f_label) ** 2, 0.0)
-        loss_f = jax.lax.psum(jnp.sum(sq), axis) / (3.0 * n_real)
-        loss_e = (energy - e_label) ** 2
-        return energy_weight * loss_e + forces_weight * loss_f
+    local_loss = _make_halo_local_loss(
+        module_apply, axis, size, nl, h, periodic,
+        energy_weight, forces_weight,
+    )
 
     @partial(
         jax.shard_map,
@@ -425,6 +449,132 @@ def make_halo_train_step(
             dtype=jnp.asarray(stacked_batch[keys.POSITIONS]).dtype,
         )
         return _step(state, stacked_batch, e_label, f_label_stacked, ws)
+
+    return step
+
+
+def stack_halo_systems(
+    batches: List[Dict[str, np.ndarray]],
+    geoms: List[Dict[str, int]],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
+    """Stack per-system halo partitions along a leading dp axis.
+
+    Every system must have been partitioned to the SAME geometry
+    (n_local/halo/edge capacity — pass ``edge_cap`` to
+    :func:`halo_partition` and use equal-sized systems, the common case
+    for supercell training).  Returns ([dp, n_shards, ...] batch, geom).
+    """
+    g0 = {k: geoms[0][k] for k in ("n_local", "halo", "window")}
+    for g in geoms[1:]:
+        if {k: g[k] for k in g0} != g0:
+            raise ValueError(
+                f"halo geometries differ across systems: {g0} vs {g}"
+            )
+    kset = set(batches[0])
+    for b in batches[1:]:
+        if set(b) != kset or any(
+            b[k].shape != batches[0][k].shape for k in kset
+        ):
+            raise ValueError(
+                "stack_halo_systems: per-system shapes differ; pass "
+                "edge_cap (and equal-sized systems) to halo_partition"
+            )
+    out = {k: np.stack([b[k] for b in batches]) for k in kset}
+    geom = dict(geoms[0])
+    geom["dp"] = len(batches)
+    return out, geom
+
+
+def make_halo_dp_train_step(
+    module_apply: Callable[[Dict, DataDict], DataDict],
+    mesh: Mesh,
+    geom: Dict[str, int],
+    optimizer,
+    energy_weight: float = 1.0,
+    forces_weight: float = 10.0,
+    dp_axis: str = "dp",
+    axis: str = GP_AXIS,
+):
+    """2-D dp x halo training: a BATCH of large systems, each
+    halo-decomposed over the ``axis`` (gp) mesh dimension, replicated
+    training over the ``dp_axis`` dimension — the TPU-idiomatic
+    composition of data parallelism with spatial decomposition on one
+    device mesh (mesh shape ``(dp, gp)``; gradients ride a single
+    2-axis pmean over ICI).
+
+    ``step(state, stacked_batch, e_labels, f_labels_stacked[, wrap_shifts])``
+    where every batch array carries a leading [dp, n_shards, ...] pair
+    (see :func:`stack_halo_systems`), ``e_labels`` is [dp] and
+    ``wrap_shifts`` [dp, 3].  The loss is the dp-mean of the per-system
+    halo losses; the parameter update equals what a single device
+    computing all systems would apply.
+
+    Neither capability exists in the reference (its only parallelism is
+    molecule-batch DDP, reference run/train.py:167-190); SURVEY.md §2.3
+    names this mesh composition as the TPU-native target.
+    """
+    nl, h = geom["n_local"], geom["halo"]
+    periodic = bool(geom.get("periodic", False))
+    size = int(mesh.shape[axis])
+
+    local_loss = _make_halo_local_loss(
+        module_apply, axis, size, nl, h, periodic,
+        energy_weight, forces_weight,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(dp_axis, axis), P(dp_axis, axis), P(dp_axis),
+                  P(dp_axis, axis), P(dp_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sharded_grads(params, pos_stacked, data_stacked, e_labels,
+                      f_stacked, wshifts):
+        local = {k: v[0, 0] for k, v in data_stacked.items()}
+        # per-(replica, shard) partial gradient of THIS system's loss;
+        # the gp-axis collectives live inside local_loss
+        loss_d, grads = jax.value_and_grad(local_loss)(
+            params, pos_stacked[0, 0], local, e_labels[0],
+            f_stacked[0, 0], wshifts[0],
+        )
+        # loss_d is gp-replicated but differs per dp replica: the
+        # training loss is its dp-mean.  As in make_halo_train_step,
+        # check_vma=False seeds a unit cotangent on every program, so
+        # the per-shard partials come out scaled by the gp size and
+        # their gp-pmean is the exact per-system gradient; the dp-pmean
+        # then takes the batch mean.  One fused 2-axis pmean does both.
+        return (
+            jax.lax.pmean(loss_d, dp_axis),
+            jax.lax.pmean(grads, (axis, dp_axis)),
+        )
+
+    @jax.jit
+    def _step(state, stacked_batch, e_labels, f_labels_stacked, wshifts):
+        params, opt_state = state
+        data = {
+            k: jnp.asarray(v)
+            for k, v in stacked_batch.items()
+            if k != keys.POSITIONS
+        }
+        pos = jnp.asarray(stacked_batch[keys.POSITIONS])
+        loss, grads = sharded_grads(
+            params, pos, data, e_labels, f_labels_stacked, wshifts
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def step(state, stacked_batch, e_labels, f_labels_stacked,
+             wrap_shifts=None):
+        dp = stacked_batch[keys.POSITIONS].shape[0]
+        ws = jnp.asarray(
+            wrap_shifts if wrap_shifts is not None else np.zeros((dp, 3)),
+            dtype=jnp.asarray(stacked_batch[keys.POSITIONS]).dtype,
+        )
+        return _step(state, stacked_batch, jnp.asarray(e_labels),
+                     f_labels_stacked, ws)
 
     return step
 
