@@ -92,7 +92,7 @@ class Calculator:
         # pairs currently beyond the model cutoff
         # (models/properties.compute_edge_data).  The reference rebuilds
         # its neighbor list every MD step
-        # (/root/reference/xequinet/interface/ase_calculator.py:68-73).
+        # (/root/reference/xequinet/interface/ase_calculator.py:87-88).
         self.skin = float(skin)
         self._skin_state: Optional[Dict] = None
         self.n_rebuilds = 0  # observable (tests, tools/md_breakdown)

@@ -244,6 +244,304 @@ class BerendsenNPTAniso(BerendsenNPT):
         return MDState(s2.pos @ mu, s2.vel, s2.masses, s2.step)
 
 
+def _sinhx_over_x(x: np.ndarray) -> np.ndarray:
+    """sinh(x)/x, series-stabilized near 0 (MTK velocity/position factors)."""
+    x = np.asarray(x, dtype=float)
+    small = np.abs(x) < 1e-4
+    safe = np.where(small, 1.0, x)
+    return np.where(small, 1.0 + x * x / 6.0, np.sinh(safe) / safe)
+
+
+class NoseHooverChain:
+    """Nosé-Hoover thermostat chain propagator (Martyna-Tuckerman-Klein).
+
+    Propagates the chain for a half step dt against a coupled subsystem
+    with ``n_dof`` degrees of freedom and kinetic energy ``kin2/2``,
+    returning the velocity scale factor exp(-v_xi1 * dt).  Uses the
+    3-term Suzuki-Yoshida decomposition for reversibility.  The chain's
+    own energy (for the conserved quantity H' of NHC dynamics) is
+    ``energy()``.  The reference reaches Nosé-Hoover dynamics through
+    ase.md.npt.NPT (/root/reference/xequinet/run/dynamics.py:22-68);
+    this is the built-in, ASE-free equivalent.
+    """
+
+    _SY3 = (1.3512071919596578, -1.7024143839193155, 1.3512071919596578)
+
+    def __init__(self, n_dof: int, temperature: float, tau_fs: float = 50.0,
+                 chain_length: int = 3, n_loops: int = 1) -> None:
+        self.n_dof = int(n_dof)
+        self.kt = KB_EV * temperature
+        tau = tau_fs / FS_PER_TIME_UNIT
+        m = max(int(chain_length), 1)
+        self.q = np.full(m, self.kt * tau * tau)
+        self.q[0] *= self.n_dof
+        self.xi = np.zeros(m)
+        self.vxi = np.zeros(m)
+        self.n_loops = int(n_loops)
+
+    def propagate(self, kin2: float, dt: float) -> float:
+        """Advance the chain by dt against current 2*K = ``kin2``; returns
+        the factor to apply to the coupled velocities."""
+        m = len(self.q)
+        scale = 1.0
+        for _ in range(self.n_loops):
+            for w in self._SY3:
+                dts = w * dt / self.n_loops
+                g = (self.q[m - 2] * self.vxi[m - 2] ** 2 - self.kt) / self.q[m - 1] \
+                    if m > 1 else (kin2 - self.n_dof * self.kt) / self.q[0]
+                self.vxi[m - 1] += 0.25 * dts * g
+                for j in range(m - 2, -1, -1):
+                    damp = math.exp(-0.125 * dts * self.vxi[j + 1])
+                    g = ((kin2 - self.n_dof * self.kt) / self.q[0] if j == 0
+                         else (self.q[j - 1] * self.vxi[j - 1] ** 2 - self.kt) / self.q[j])
+                    self.vxi[j] = (self.vxi[j] * damp + 0.25 * dts * g) * damp
+                s = math.exp(-0.5 * dts * self.vxi[0])
+                scale *= s
+                kin2 *= s * s
+                self.xi += 0.5 * dts * self.vxi
+                for j in range(m - 1):
+                    damp = math.exp(-0.125 * dts * self.vxi[j + 1])
+                    g = ((kin2 - self.n_dof * self.kt) / self.q[0] if j == 0
+                         else (self.q[j - 1] * self.vxi[j - 1] ** 2 - self.kt) / self.q[j])
+                    self.vxi[j] = (self.vxi[j] * damp + 0.25 * dts * g) * damp
+                g = (self.q[m - 2] * self.vxi[m - 2] ** 2 - self.kt) / self.q[m - 1] \
+                    if m > 1 else (kin2 - self.n_dof * self.kt) / self.q[0]
+                self.vxi[m - 1] += 0.25 * dts * g
+        return scale
+
+    def energy(self) -> float:
+        """Thermostat contribution to the NHC conserved quantity."""
+        e = 0.5 * float(np.sum(self.q * self.vxi**2))
+        e += self.n_dof * self.kt * self.xi[0]
+        e += self.kt * float(np.sum(self.xi[1:]))
+        return e
+
+
+class NoseHooverNVT(VelocityVerlet):
+    """Nosé-Hoover-chain NVT: half-chain -> velocity Verlet -> half-chain.
+
+    Samples the canonical ensemble exactly (unlike Berendsen); the
+    conserved quantity H' = K + U + sum_j Q_j v_xi_j^2/2 + N_f kT xi_1 +
+    kT sum_{j>=2} xi_j is exposed via :meth:`conserved_energy` and
+    bounded-drift-tested in tests/test_round4.py.
+    """
+
+    def __init__(self, ff, timestep_fs: float, temperature: float,
+                 tau_fs: float = 50.0, chain_length: int = 3) -> None:
+        super().__init__(ff, timestep_fs)
+        self.temperature = temperature
+        self.n_dof_of = lambda n: 3 * n - 3
+        self.chain: Optional[NoseHooverChain] = None
+        self._tau_fs = tau_fs
+        self._chain_length = chain_length
+
+    def _ensure_chain(self, s: MDState) -> NoseHooverChain:
+        if self.chain is None:
+            self.chain = NoseHooverChain(
+                self.n_dof_of(len(s.masses)), self.temperature,
+                self._tau_fs, self._chain_length,
+            )
+        return self.chain
+
+    def step(self, s: MDState, rng) -> MDState:
+        chain = self._ensure_chain(s)
+        scale = chain.propagate(2.0 * s.kinetic_energy(), 0.5 * self.dt)
+        s = MDState(s.pos, s.vel * scale, s.masses, s.step)
+        s2 = super().step(s, rng)
+        scale = chain.propagate(2.0 * s2.kinetic_energy(), 0.5 * self.dt)
+        return MDState(s2.pos, s2.vel * scale, s2.masses, s2.step)
+
+    def conserved_energy(self, s: MDState, e_pot: float) -> float:
+        chain = self._ensure_chain(s)
+        return s.kinetic_energy() + e_pot + chain.energy()
+
+
+_EV_A3_TO_GPA = 160.21766208
+
+
+class MTKNPT:
+    """Isotropic Martyna-Tobias-Klein NPT (Nosé-Hoover barostat).
+
+    Explicitly reversible integrator (Tuckerman, "Statistical Mechanics",
+    ch. 5 NPT algorithm): separate NHC thermostats on particles and on
+    the cell, MTK sinh(x)/x velocity/position factors, volume moved by
+    exp(3 v_eps dt).  Samples the true isothermal-isobaric ensemble —
+    the reference's `NPT` stage (ase.md.npt.NPT,
+    /root/reference/xequinet/run/dynamics.py:22-68); Berendsen (above)
+    does not.  Pressure in GPa, virial convention P = (2K + tr W)/(3V)
+    as in BerendsenNPT.
+    """
+
+    def __init__(self, ff: ForceField, timestep_fs: float, temperature: float,
+                 pressure_gpa: float = 0.0, taut_fs: float = 50.0,
+                 taup_fs: float = 500.0, chain_length: int = 3) -> None:
+        assert ff.cell is not None, "NPT requires a periodic cell"
+        self.ff = ff
+        self.dt = timestep_fs / FS_PER_TIME_UNIT
+        self.temperature = temperature
+        self.p_ext = pressure_gpa / _EV_A3_TO_GPA  # eV / A^3
+        self.taut_fs = taut_fs
+        self.taup = taup_fs / FS_PER_TIME_UNIT
+        self.chain_length = chain_length
+        self.chain_p: Optional[NoseHooverChain] = None
+        self.chain_b: Optional[NoseHooverChain] = None
+        self.v_eps = 0.0
+        self.w = None  # barostat mass
+        self._forces: Optional[np.ndarray] = None
+
+    def _ensure(self, s: MDState) -> None:
+        if self.chain_p is None:
+            n_dof = 3 * len(s.masses) - 3
+            self.n_dof = n_dof
+            kt = KB_EV * self.temperature
+            self.w = (n_dof + 3) * kt * self.taup**2
+            self.chain_p = NoseHooverChain(
+                n_dof, self.temperature, self.taut_fs, self.chain_length)
+            # barostat thermostat on the taup timescale (tau back in fs)
+            self.chain_b = NoseHooverChain(
+                1, self.temperature, self.taup * FS_PER_TIME_UNIT,
+                self.chain_length)
+
+    def _pressure(self, s: MDState) -> float:
+        vir = self.ff.last_virial
+        if vir is None:
+            raise RuntimeError("force field does not provide a virial; "
+                               "load the Calculator with compute_virial=True")
+        vol = abs(np.linalg.det(self.ff.cell))
+        return (2.0 * s.kinetic_energy() + np.trace(vir)) / (3.0 * vol)
+
+    def _half_baro(self, s: MDState) -> None:
+        vol = abs(np.linalg.det(self.ff.cell))
+        g_eps = (3.0 * vol * (self._pressure(s) - self.p_ext)
+                 + (3.0 / self.n_dof) * 2.0 * s.kinetic_energy()) / self.w
+        self.v_eps += 0.5 * self.dt * g_eps
+
+    def _half_thermo(self, s: MDState) -> MDState:
+        sb = self.chain_b.propagate(self.w * self.v_eps**2, 0.5 * self.dt)
+        self.v_eps *= sb
+        sp = self.chain_p.propagate(2.0 * s.kinetic_energy(), 0.5 * self.dt)
+        return MDState(s.pos, s.vel * sp, s.masses, s.step)
+
+    def step(self, s: MDState, rng) -> MDState:
+        self._ensure(s)
+        if self._forces is None:
+            _, self._forces = self.ff(s.pos)
+        dt, dt2 = self.dt, 0.5 * self.dt
+        s = self._half_thermo(s)
+        self._half_baro(s)
+        # MTK half-kick with barostat coupling factor
+        alpha = 1.0 + 3.0 / self.n_dof
+        aa = alpha * self.v_eps * dt2
+        m = s.masses[:, None]
+        vel = (s.vel * math.exp(-aa)
+               + dt2 * (self._forces / m) * math.exp(-0.5 * aa)
+               * _sinhx_over_x(0.5 * aa))
+        # position + cell update
+        ve_dt = self.v_eps * dt
+        pos = (s.pos * math.exp(ve_dt)
+               + dt * vel * math.exp(0.5 * ve_dt) * _sinhx_over_x(0.5 * ve_dt))
+        self.ff.cell = self.ff.cell * math.exp(ve_dt)
+        _, forces = self.ff(pos)
+        vel = (vel * math.exp(-aa)
+               + dt2 * (forces / m) * math.exp(-0.5 * aa)
+               * _sinhx_over_x(0.5 * aa))
+        self._forces = forces
+        s = MDState(pos, vel, s.masses, s.step + 1)
+        self._half_baro(s)
+        return self._half_thermo(s)
+
+    def conserved_energy(self, s: MDState, e_pot: float) -> float:
+        self._ensure(s)
+        vol = abs(np.linalg.det(self.ff.cell))
+        return (s.kinetic_energy() + e_pot
+                + 0.5 * self.w * self.v_eps**2
+                + self.chain_p.energy() + self.chain_b.energy()
+                + self.p_ext * vol)
+
+
+class MTKNPTAniso(MTKNPT):
+    """Anisotropic MTK NPT (Parrinello-Rahman-style full-cell barostat).
+
+    The cell velocity is a symmetric 3x3 matrix v_g; velocity/position
+    updates use eigendecomposition-based matrix exponentials of
+    v_g + (tr v_g / N_f) I.  Equations: Martyna, Tobias & Klein,
+    J. Chem. Phys. 101, 4177 (1994), "fully flexible cell".
+    """
+
+    def _ensure(self, s: MDState) -> None:
+        first = self.chain_p is None
+        super()._ensure(s)
+        if first:
+            kt = KB_EV * self.temperature
+            self.w_g = (self.n_dof + 3) * kt * self.taup**2 / 3.0
+            self.v_g = np.zeros((3, 3))
+            self.chain_b = NoseHooverChain(
+                6, self.temperature, self.taup * FS_PER_TIME_UNIT,
+                self.chain_length)
+
+    def _p_tensor(self, s: MDState) -> np.ndarray:
+        vir = self.ff.last_virial
+        if vir is None:
+            raise RuntimeError("force field does not provide a virial")
+        vol = abs(np.linalg.det(self.ff.cell))
+        kin = np.einsum("n,ni,nj->ij", s.masses, s.vel, s.vel)
+        return (kin + 0.5 * (vir + vir.T)) / vol
+
+    def _half_baro(self, s: MDState) -> None:
+        vol = abs(np.linalg.det(self.ff.cell))
+        g_g = (vol * (self._p_tensor(s) - self.p_ext * np.eye(3))
+               + (2.0 * s.kinetic_energy() / self.n_dof) * np.eye(3)) / self.w_g
+        self.v_g = self.v_g + 0.5 * self.dt * 0.5 * (g_g + g_g.T)
+
+    def _half_thermo(self, s: MDState) -> MDState:
+        kin2_b = self.w_g * float(np.sum(self.v_g * self.v_g))
+        sb = self.chain_b.propagate(kin2_b, 0.5 * self.dt)
+        self.v_g *= sb
+        sp = self.chain_p.propagate(2.0 * s.kinetic_energy(), 0.5 * self.dt)
+        return MDState(s.pos, s.vel * sp, s.masses, s.step)
+
+    def step(self, s: MDState, rng) -> MDState:
+        self._ensure(s)
+        if self._forces is None:
+            _, self._forces = self.ff(s.pos)
+        dt, dt2 = self.dt, 0.5 * self.dt
+        s = self._half_thermo(s)
+        self._half_baro(s)
+        m = s.masses[:, None]
+
+        def kick(vel, forces):
+            # row-vector convention: v' = v O diag O^T
+            mm = self.v_g + (np.trace(self.v_g) / self.n_dof) * np.eye(3)
+            lam, o = np.linalg.eigh(0.5 * (mm + mm.T))
+            e1 = np.exp(-lam * dt2)
+            e2 = np.exp(-0.5 * lam * dt2) * _sinhx_over_x(0.5 * lam * dt2)
+            v_o = vel @ o
+            f_o = (forces / m) @ o
+            return (v_o * e1 + dt2 * f_o * e2) @ o.T
+
+        vel = kick(s.vel, self._forces)
+        # position + cell via exp(v_g dt)
+        lam, o = np.linalg.eigh(0.5 * (self.v_g + self.v_g.T))
+        e1 = np.exp(lam * dt)
+        e2 = np.exp(0.5 * lam * dt) * _sinhx_over_x(0.5 * lam * dt)
+        pos = ((s.pos @ o) * e1 + dt * (vel @ o) * e2) @ o.T
+        self.ff.cell = (self.ff.cell @ o) * e1 @ o.T
+        _, forces = self.ff(pos)
+        vel = kick(vel, forces)
+        self._forces = forces
+        s = MDState(pos, vel, s.masses, s.step + 1)
+        self._half_baro(s)
+        return self._half_thermo(s)
+
+    def conserved_energy(self, s: MDState, e_pot: float) -> float:
+        self._ensure(s)
+        vol = abs(np.linalg.det(self.ff.cell))
+        return (s.kinetic_energy() + e_pot
+                + 0.5 * self.w_g * float(np.sum(self.v_g * self.v_g))
+                + self.chain_p.energy() + self.chain_b.energy()
+                + self.p_ext * vol)
+
+
 class FIREStage:
     """FIRE structure relaxation as an MD-chain stage: the analogue of the
     reference's 'any ase.optimize class as an ensemble' option
@@ -296,10 +594,22 @@ ENSEMBLE_FACTORY = {
     "nvtberendsen": BerendsenNVT,
     "berendsen": BerendsenNVT,
     "andersen": Andersen,
+    "nosehoover": NoseHooverNVT,
+    "nose-hoover": NoseHooverNVT,
+    "nvtnosehoover": NoseHooverNVT,
+    "nhc": NoseHooverNVT,
     "nptberendsen": BerendsenNPT,
-    "npt": BerendsenNPT,
+    # "npt" follows the reference, whose `NPT` stage is the extended-
+    # Lagrangian ase.md.npt.NPT (Nosé-Hoover + Parrinello-Rahman,
+    # /root/reference/xequinet/run/dynamics.py:22-68) — not Berendsen
+    "npt": MTKNPT,
+    "npt-mtk": MTKNPT,
+    "nptnosehoover": MTKNPT,
     "nptberendsenaniso": BerendsenNPTAniso,
     "npt-aniso": BerendsenNPTAniso,
+    "npt-mtk-aniso": MTKNPTAniso,
+    "npt-pr": MTKNPTAniso,
+    "parrinellorahman": MTKNPTAniso,
     "fire": FIREStage,
     "optimize": FIREStage,
 }
@@ -315,7 +625,9 @@ def run_md(config: MDConfig, logger=None) -> MDState:
     stage_names = [
         str(st.get("name", "nve")).lower() for st in (config.ensembles or [])
     ]
-    needs_virial = any("npt" in n for n in stage_names)
+    needs_virial = any(
+        "npt" in n or n == "parrinellorahman" for n in stage_names
+    )
     from ..utils.compile_cache import enable_compilation_cache
     from ..utils.precision import set_matmul_precision
 
@@ -373,6 +685,10 @@ def run_md(config: MDConfig, logger=None) -> MDState:
                     f"Epot={e_pot:.6f}eV Ekin={state.kinetic_energy():.6f}eV "
                     f"T={state.temperature():.1f}K"
                 )
+                if hasattr(integ, "conserved_energy"):
+                    msg += (
+                        f" H'={integ.conserved_energy(state, e_pot):.6f}eV"
+                    )
                 logger.info(msg)
                 if config.xyz_traj:
                     # ff.cell is the live cell (barostats rescale it);

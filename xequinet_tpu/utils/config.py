@@ -128,7 +128,7 @@ class MDConfig:
     # cutoff+skin and reuse them until an atom drifts skin/2 — between
     # rebuilds an MD step uploads only positions
     # (interface/calculator.py).  0 = rebuild every step (reference
-    # behaviour, ase_calculator.py:68-73)
+    # behaviour, ase_calculator.py:87-88)
     skin: float = 0.0
 
 
