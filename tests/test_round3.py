@@ -435,15 +435,12 @@ def test_xdbdataset_missing_backend_message(tmp_path):
         XDBDataset(tmp_path)
 
 
-@pytest.mark.skipif(
-    __import__("importlib").util.find_spec("lmdb") is None,
-    reason="lmdb not installed",
-)
 def test_lmdb_dataset_in_place(tmp_path, monkeypatch):
     """End-to-end: write a reference-format LMDB, read it through
-    XDBDataset without conversion."""
-    import lmdb
-
+    XDBDataset without conversion.  Written with the real lmdb package
+    when present, else with the pure-Python writer (data/lmdb_pure.py) —
+    either way the file is the on-disk LMDB format and the read side is
+    the production XDBDataset path."""
     from xequinet_tpu.data.store import XDBDataset
 
     payloads = []
@@ -456,13 +453,23 @@ def test_lmdb_dataset_in_place(tmp_path, monkeypatch):
             "pos": torch.tensor(rng.normal(size=(2, 3)).astype(np.float32)),
             "energy": torch.tensor([float(i)]),
         })
-    env = lmdb.open(str(tmp_path / "data.lmdb"), subdir=False,
-                    map_size=2**30)
-    with env.begin(write=True) as txn:
-        for i, p in enumerate(payloads):
-            txn.put(int(i).to_bytes(8, "little"),
-                    _fake_pyg_pickle(monkeypatch, p))
-    env.close()
+    blobs = {
+        int(i).to_bytes(8, "little"): _fake_pyg_pickle(monkeypatch, p)
+        for i, p in enumerate(payloads)
+    }
+    try:
+        import lmdb
+
+        env = lmdb.open(str(tmp_path / "data.lmdb"), subdir=False,
+                        map_size=2**30)
+        with env.begin(write=True) as txn:
+            for k, blob in blobs.items():
+                txn.put(k, blob)
+        env.close()
+    except ImportError:
+        from xequinet_tpu.data.lmdb_pure import write_lmdb
+
+        write_lmdb(tmp_path / "data.lmdb", blobs)
     (tmp_path / "info.json").write_text('{"units": {}}')
     ds = XDBDataset(tmp_path, split="train")
     assert len(ds) == 3

@@ -144,25 +144,29 @@ def record_to_datapoint(data: Any) -> Datapoint:
 
 
 class LMDBReader:
-    """Random-access reader over a reference ``data.lmdb`` file
-    (requires the lmdb package; torch for tensor payloads).
+    """Random-access reader over a reference ``data.lmdb`` file.
 
-    Matches the reference's open flags (read-only, no lock, subdir=False;
-    lmdb_data.py:45-56) so it can read a dataset another process trains
-    from.  Indices are positions in the reference's key scheme:
-    little-endian uint64 record ids.
+    Uses the lmdb C package when available (live-updated environments:
+    matches the reference's open flags — read-only, no lock,
+    subdir=False; lmdb_data.py:45-56), and falls back to the pure-Python
+    B-tree walker (data/lmdb_pure.py) otherwise, so reference datasets
+    are consumable on any TPU host with zero native deps.  Indices are
+    positions in the reference's key scheme: little-endian uint64 record
+    ids.
     """
 
     def __init__(self, path: Union[str, Path]) -> None:
+        self.path = Path(path)
         try:
             import lmdb
-        except ImportError as e:  # pragma: no cover - env without lmdb
-            raise ImportError(
-                "reading LMDB datasets in place requires the 'lmdb' "
-                "package (pip install lmdb), or convert once with "
-                "tools/convert_lmdb_dataset.py"
-            ) from e
-        self.path = Path(path)
+        except ImportError:  # zero-dep fallback
+            from .lmdb_pure import PureLMDBReader
+
+            self._pure = PureLMDBReader(self.path)
+            self._env = None
+            self._n = self._pure.entries
+            return
+        self._pure = None
         self._env = lmdb.open(
             str(self.path), readonly=True, lock=False, subdir=False,
             map_size=2**40, readahead=False, meminit=False,
@@ -173,13 +177,21 @@ class LMDBReader:
     def __len__(self) -> int:
         return self._n
 
-    def __getitem__(self, i: int) -> Datapoint:
-        key = int(i).to_bytes(8, "little")
+    def _get_blob(self, key: bytes) -> Optional[bytes]:
+        if self._env is None:
+            return self._pure.get(key)
         with self._env.begin(buffers=True) as txn:
             blob = txn.get(key)
-            if blob is None:
-                raise IndexError(f"record {i} not in {self.path}")
-            return record_to_datapoint(tolerant_loads(bytes(blob)))
+            return None if blob is None else bytes(blob)
+
+    def __getitem__(self, i: int) -> Datapoint:
+        blob = self._get_blob(int(i).to_bytes(8, "little"))
+        if blob is None:
+            raise IndexError(f"record {i} not in {self.path}")
+        return record_to_datapoint(tolerant_loads(blob))
 
     def close(self) -> None:
-        self._env.close()
+        if self._env is not None:
+            self._env.close()
+        else:
+            self._pure.close()
