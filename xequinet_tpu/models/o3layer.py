@@ -41,46 +41,51 @@ class O3Linear(nn.Module):
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         sl_in = irreps_in.slices()
+        sl_out = irreps_out.slices()
         cdtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
-        out = []
+        # Round-4: assemble ONE block-diagonal [dim_in, dim_out] weight from
+        # the per-path parameters (layout unchanged — checkpoints
+        # interoperate) and run a single MXU matmul instead of a per-irrep
+        # einsum/concat chain.  The kron-with-identity zeros are free MXU
+        # lanes; the matmul is tiny next to the fusion-boundary cost the
+        # old form paid (tools/remainder_breakdown.py).
+        w_block = jnp.zeros((irreps_in.dim, irreps_out.dim), dtype=jnp.float32)
+        b_lane = None
         for i_out, (mul_out, ir_out) in enumerate(irreps_out):
             paths = [
                 (i_in, mi) for i_in, mi in enumerate(irreps_in) if mi.ir == ir_out
             ]
             fan_in = sum(mi.mul for _, mi in paths)
-            acc = None
+            norm = 1.0 / np.sqrt(max(fan_in, 1))
+            eye_m = np.eye(ir_out.dim, dtype=np.float32)
             for i_in, mi in paths:
                 w = self.param(
                     f"w{i_out}_{i_in}",
                     nn.initializers.normal(stddev=1.0),
                     (mi.mul, mul_out),
                 )
-                xc = x[..., sl_in[i_in]].reshape(
-                    x.shape[:-1] + (mi.mul, ir_out.dim)
+                # kron(w, I_m): [mul_in*m, mul_out*m]
+                blk = (w[:, None, :, None] * eye_m[None, :, None, :]).reshape(
+                    mi.mul * ir_out.dim, mul_out * ir_out.dim
                 )
-                if cdtype is not None:
-                    y = jnp.einsum(
-                        "...um,uv->...vm", xc.astype(cdtype), w.astype(cdtype),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    y = jnp.einsum(
-                        "...um,uv->...vm", xc, w,
-                        precision=lax.Precision.HIGHEST,
-                    )
-                acc = y if acc is None else acc + y
-            if acc is None:
-                acc = jnp.zeros(x.shape[:-1] + (mul_out, ir_out.dim), dtype=x.dtype)
-            else:
-                acc = acc / np.sqrt(max(fan_in, 1))
+                w_block = w_block.at[sl_in[i_in], sl_out[i_out]].add(blk * norm)
             if self.biases and ir_out.l == 0 and ir_out.p == 1:
-                b = self.param(
-                    f"b{i_out}", nn.initializers.zeros, (mul_out,)
-                )
-                acc = acc + b[..., None]
-            out.append(acc.reshape(acc.shape[:-2] + (mul_out * ir_out.dim,)))
-        return jnp.concatenate(out, axis=-1)
+                b = self.param(f"b{i_out}", nn.initializers.zeros, (mul_out,))
+                if b_lane is None:
+                    b_lane = jnp.zeros((irreps_out.dim,), dtype=jnp.float32)
+                b_lane = b_lane.at[sl_out[i_out]].set(b)
+
+        if cdtype is not None:
+            y = jnp.dot(
+                x.astype(cdtype), w_block.astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = jnp.dot(x, w_block, precision=lax.Precision.HIGHEST)
+        if b_lane is not None:
+            y = y + b_lane
+        return y
 
 
 class Gate(nn.Module):

@@ -4,20 +4,72 @@ These are the TPU-friendly specializations of the generic tensor product
 for the three ops that dominate XPaiNN's inner loop (reference:
 nn/o3layer.py Invariant/EquivariantDot, and the
 ``o3.ElementwiseTensorProduct(node_irreps, Nx0e)`` gating in
-nn/xpainn.py:119-121,150-153).  Each is a handful of reshapes and
-elementwise multiplies / small reductions — pure VPU work that XLA fuses
-into the surrounding matmuls.
+nn/xpainn.py:119-121,150-153).
+
+Round-4 redesign: the per-irrep Python loops (slice -> reshape ->
+reduce -> concatenate) compiled into dozens of small HBM-bound XLA ops
+per block — 36.7 ms of the flagship train step was the update blocks
+alone (tools/remainder_breakdown.py).  Every op is now expressed
+through two constant structure matrices per irreps layout,
+
+    G [num_irreps, dim]   gate broadcast: lane j of irrep u -> G[u, j] = 1
+    S [dim,  num_irreps]  inner-product reduction: S[j, u] = c_l(u)
+
+so gating is ``x * (s @ G)``, the per-irrep inner product is
+``(x1 * x2) @ S`` and the LayerNorm RMS rides the same S — single
+MXU matmuls XLA fuses with the surrounding elementwise work, instead of
+per-irrep slicing.  In f32 the structure matmuls run precision=HIGHEST
+(TPU default would silently round the values to bf16).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Union
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-from .irreps import Irreps, split_flat
+from .irreps import Irreps
 from .wigner import irrep_inner_coeff
+
+
+@functools.lru_cache(maxsize=None)
+def _structure(irreps: Irreps):
+    """(G [num_irreps, dim], S [dim, num_irreps], scalar lane info).
+
+    scalar info = (mask [dim] f32 of even-scalar lanes, idx [num_scalar]
+    int lane positions, gate positions of scalar irreps [num_scalar]).
+    """
+    dim, ni = irreps.dim, irreps.num_irreps
+    g = np.zeros((ni, dim), dtype=np.float32)
+    s = np.zeros((dim, ni), dtype=np.float32)
+    scalar_mask = np.zeros((dim,), dtype=np.float32)
+    scalar_idx = []
+    scalar_gates = []
+    gate = 0
+    lane = 0
+    for mul, ir in irreps:
+        c = irrep_inner_coeff(ir.l)
+        for _ in range(mul):
+            g[gate, lane : lane + ir.dim] = 1.0
+            s[lane : lane + ir.dim, gate] = c
+            if ir.l == 0 and ir.p == 1:
+                scalar_mask[lane] = 1.0
+                scalar_idx.append(lane)
+                scalar_gates.append(gate)
+            gate += 1
+            lane += ir.dim
+    return g, s, (scalar_mask, np.asarray(scalar_idx, dtype=np.int32),
+                  np.asarray(scalar_gates, dtype=np.int32))
+
+
+def _mm(a: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """a @ m with f32 inputs protected from the TPU's default bf16
+    truncation; bf16 inputs keep the fast single-pass MXU path."""
+    prec = None if a.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    return jnp.dot(a, jnp.asarray(m, a.dtype), precision=prec)
 
 
 def scalar_gate(
@@ -31,18 +83,8 @@ def scalar_gate(
 
     x: [..., irreps.dim];  s: [..., irreps.num_irreps]  ->  [..., irreps.dim]
     """
-    irreps = Irreps(irreps)
-    out = []
-    off_x = 0
-    off_s = 0
-    for mul, ir in irreps:
-        d = mul * ir.dim
-        xc = x[..., off_x : off_x + d].reshape(x.shape[:-1] + (mul, ir.dim))
-        sc = s[..., off_s : off_s + mul]
-        out.append((xc * sc[..., None]).reshape(x.shape[:-1] + (d,)))
-        off_x += d
-        off_s += mul
-    return jnp.concatenate(out, axis=-1)
+    g, _, _ = _structure(Irreps(irreps))
+    return x * _mm(s, g)
 
 
 def equivariant_dot(
@@ -55,12 +97,8 @@ def equivariant_dot(
 
     Returns [..., irreps.num_irreps].
     """
-    irreps = Irreps(irreps)
-    out = []
-    for (mul, ir), c1, c2 in zip(irreps, split_flat(x1, irreps), split_flat(x2, irreps)):
-        c = irrep_inner_coeff(ir.l)
-        out.append(jnp.sum(c1 * c2, axis=-1) * c)
-    return jnp.concatenate(out, axis=-1)
+    _, s, _ = _structure(Irreps(irreps))
+    return _mm(x1 * x2, s)
 
 
 def invariant(
@@ -82,14 +120,8 @@ def invariant(
 def scalar_indices(irreps: Union[str, Irreps]) -> np.ndarray:
     """Flat indices of the even scalar (0e) channels, as in
     reference nn/o3layer.py:119-127."""
-    irreps = Irreps(irreps)
-    idx = []
-    off = 0
-    for mul, ir in irreps:
-        if ir.l == 0 and ir.p == 1:
-            idx.extend(range(off, off + mul))
-        off += mul * ir.dim
-    return np.asarray(idx, dtype=np.int32)
+    _, _, (mask, idx, _) = _structure(Irreps(irreps))
+    return idx
 
 
 def equivariant_layer_norm(
@@ -108,46 +140,23 @@ def equivariant_layer_norm(
     weight: [num_irreps]; bias: [num_scalars].
     """
     irreps = Irreps(irreps)
-    num_scalar = sum(mul for mul, ir in irreps if ir.l == 0 and ir.p == 1)
-    chunks = split_flat(x, irreps)
+    g, s, (scalar_mask, scalar_idx, scalar_gates) = _structure(irreps)
+    num_scalar = len(scalar_idx)
 
-    # subtract the mean over scalar channels from the scalar channels
     if num_scalar > 0:
-        scalars = jnp.concatenate(
-            [
-                c[..., :, 0]
-                for c, (mul, ir) in zip(chunks, irreps)
-                if ir.l == 0 and ir.p == 1
-            ],
-            axis=-1,
-        )
-        mean = jnp.mean(scalars, axis=-1, keepdims=True)
-        chunks = [
-            c - mean[..., None] if (ir.l == 0 and ir.p == 1) else c
-            for c, (mul, ir) in zip(chunks, irreps)
-        ]
-
-    # RMS over all irreps of the squared invariants
-    inv_sq = []
-    for c, (mul, ir) in zip(chunks, irreps):
-        coeff = irrep_inner_coeff(ir.l)
-        inv_sq.append(jnp.sum(c * c, axis=-1) * coeff)
-    inv_sq = jnp.concatenate(inv_sq, axis=-1)  # [..., num_irreps]
+        # mean over the scalar lanes, subtracted from the scalar lanes only
+        mean = _mm(x, scalar_mask[:, None] / num_scalar)  # [..., 1]
+        x = x - mean * scalar_mask
+    inv_sq = _mm(x * x, s)  # [..., num_irreps]
     inv_rms = jax_rsqrt(jnp.mean(inv_sq, axis=-1, keepdims=True) + eps)
 
-    out = []
-    off_w = 0
-    off_b = 0
-    for c, (mul, ir) in zip(chunks, irreps):
-        w = weight[off_w : off_w + mul]
-        c = c * inv_rms[..., None] * w[..., None]
-        if ir.l == 0 and ir.p == 1:
-            b = bias[off_b : off_b + mul]
-            c = c + b[..., None]
-            off_b += mul
-        off_w += mul
-        out.append(c.reshape(c.shape[:-2] + (mul * ir.dim,)))
-    return jnp.concatenate(out, axis=-1)
+    w_lane = _mm(weight, g)  # [dim]
+    out = x * inv_rms * w_lane
+    if num_scalar > 0:
+        b_lane = jnp.zeros((x.shape[-1],), dtype=out.dtype)
+        b_lane = b_lane.at[scalar_idx].set(bias[:num_scalar].astype(out.dtype))
+        out = out + b_lane
+    return out
 
 
 def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
