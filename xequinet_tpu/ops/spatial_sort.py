@@ -51,20 +51,35 @@ def index_reach(dst_rank: np.ndarray, src_rank: np.ndarray) -> int:
     return int(np.abs(np.asarray(dst_rank) - np.asarray(src_rank)).max())
 
 
-def sort_axis_pbc(cell: np.ndarray, pbc: np.ndarray) -> int:
-    """The periodic cell axis with the largest perpendicular height
-    (slab population along it is smallest, minimizing index reach); a
-    non-periodic direction wins outright when present (no ghosts needed
-    along it)."""
+def sort_axis_pbc(
+    cell: np.ndarray, pbc: np.ndarray, positions: np.ndarray = None
+) -> int:
+    """The cell axis with the largest spatial extent — slab population
+    along it is smallest, minimizing index reach.
+
+    Periodic axes score their perpendicular height.  Aperiodic axes
+    score the ACTUAL extent of ``positions`` projected on the height
+    direction (a quasi-1D periodic chain in a wide aperiodic box must
+    sort along the chain, not the box, or the reach is O(N)); when
+    positions are not given they score the cell height with a mild
+    preference (no wrap edges along an aperiodic sort axis)."""
     cell = np.asarray(cell, dtype=float)
     inv_t = np.linalg.inv(cell).T  # rows = reciprocal vectors (no 2pi)
     heights = 1.0 / np.linalg.norm(inv_t, axis=1)  # perpendicular heights
     pbc = np.asarray(pbc, dtype=bool)
-    if (~pbc).any():
-        # prefer sorting along an aperiodic direction: zero wrap edges
-        score = np.where(pbc, heights, np.inf)
+    if not (~pbc).any():
+        return int(np.argmax(heights))
+    if positions is None:
+        score = np.where(pbc, heights, heights * 1.5)
     else:
-        score = heights
+        pos = np.asarray(positions, dtype=float)
+        # extent along each height direction (unit reciprocal vectors)
+        units = inv_t * heights[:, None]
+        proj = pos @ units.T  # [n, 3]
+        extent = proj.max(0) - proj.min(0) if len(pos) else heights
+        # aperiodic: true occupied extent; ties toward aperiodic (no
+        # wrap edges) by a small factor
+        score = np.where(pbc, heights, np.maximum(extent, 1e-9) * 1.1)
     return int(np.argmax(score))
 
 

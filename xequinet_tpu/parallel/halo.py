@@ -368,6 +368,69 @@ def _make_halo_local_loss(
     return local_loss
 
 
+def make_halo_loss_fn(
+    module_apply: Callable[[Dict, DataDict], DataDict],
+    mesh: Mesh,
+    geom: Dict[str, int],
+    energy_weight: float = 1.0,
+    forces_weight: float = 10.0,
+    axis: str = GP_AXIS,
+):
+    """Evaluation-side halo loss: ``loss(params, stacked_batch, e_label,
+    f_label_stacked[, wrap_shift])`` — the train-step loss without the
+    gradient/optimizer, with params as an ARGUMENT (closure-captured
+    sharded params would go stale across steps and cannot be lifted into
+    the Manual mesh context).  Works on a gp-only or a (dp, gp) mesh —
+    the dp axis, when present, just replicates."""
+    nl, h = geom["n_local"], geom["halo"]
+    periodic = bool(geom.get("periodic", False))
+    size = int(mesh.shape[axis])
+
+    local_loss = _make_halo_local_loss(
+        module_apply, axis, size, nl, h, periodic,
+        energy_weight, forces_weight,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded(params, pos_stacked, data_stacked, e_label, f_stacked,
+                wshift):
+        local = {k: v[0] for k, v in data_stacked.items()}
+        return local_loss(
+            params, pos_stacked[0], local, e_label, f_stacked[0], wshift
+        )
+
+    @jax.jit
+    def _loss(params, stacked_batch, e_label, f_label_stacked, wshift):
+        data = {
+            k: jnp.asarray(v)
+            for k, v in stacked_batch.items()
+            if k != keys.POSITIONS
+        }
+        pos = jnp.asarray(stacked_batch[keys.POSITIONS])
+        return sharded(
+            params, pos, data, e_label, f_label_stacked, wshift
+        )
+
+    def loss(params, stacked_batch, e_label, f_label_stacked,
+             wrap_shift=None):
+        ws = jnp.asarray(
+            wrap_shift if wrap_shift is not None else np.zeros(3),
+            dtype=jnp.asarray(stacked_batch[keys.POSITIONS]).dtype,
+        )
+        return _loss(
+            params, stacked_batch, jnp.asarray(e_label),
+            jnp.asarray(f_label_stacked), ws,
+        )
+
+    return loss
+
+
 def make_halo_train_step(
     module_apply: Callable[[Dict, DataDict], DataDict],
     mesh: Mesh,
@@ -579,6 +642,129 @@ def make_halo_dp_train_step(
     return step
 
 
+def prepare_halo_system(
+    atomic_numbers: np.ndarray,
+    positions: np.ndarray,
+    cutoff: float,
+    n_shards: int,
+    cell=None,
+    pbc=None,
+    halo: Optional[int] = None,
+    edge_cap: Optional[int] = None,
+    margin: float = 1.3,
+    nl_exact: Optional[int] = None,
+    min_halo: Optional[int] = None,
+    min_edge_cap: Optional[int] = None,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int], np.ndarray,
+           Optional[np.ndarray], int, int]:
+    """Host pipeline turning one large (possibly periodic) system into a
+    fixed-capacity halo partition: spatial sort along the widest
+    direction, neighbor list, sort-axis image unwrap onto the ring,
+    center-sorted edges, :func:`halo_partition`.
+
+    Returns ``(stacked, geom, perm, wrap_shift, halo_used, edge_cap_used)``
+    where ``perm`` maps input order -> sorted order (labels must follow
+    it) and ``wrap_shift`` is the sort-axis lattice vector (None for free
+    systems).  Pass explicit ``halo``/``edge_cap``/``nl_exact`` to force a
+    uniform geometry across systems (training over a dataset requires it,
+    :func:`stack_halo_systems`); leave None to size from this system with
+    ``margin`` head-room.  Shared by :class:`HaloCalculator` and the
+    config-driven halo trainer (run/train.py run_halo_train).
+    """
+    from ..ops.radius_graph import radius_graph_np, radius_graph_pbc_np
+    from ..ops.spatial_sort import index_reach, sort_axis_pbc
+
+    z = np.asarray(atomic_numbers)
+    pos = np.asarray(positions, dtype=np.float64)
+    n = len(z)
+    has_cell = cell is not None and pbc is not None and np.any(pbc)
+    if nl_exact is None:
+        nl_exact = _ceil_to((n + n_shards - 1) // n_shards, 8)
+
+    res_offs = None
+    wrap_shift = None
+    if has_cell:
+        cell = np.asarray(cell, dtype=float)
+        axis_i = sort_axis_pbc(cell, pbc, pos)
+        frac = pos @ np.linalg.inv(cell)
+        perm = np.argsort(frac[:, axis_i], kind="stable")
+        z_s, pos_s = z[perm], pos[perm]
+        ei, offs = radius_graph_pbc_np(pos_s, cell, pbc, cutoff)
+        order = np.argsort(ei[0], kind="stable")
+        ei, offs = ei[:, order], offs[order]
+        # sort-axis images become unwrapped RING rows (period = the
+        # padded global row count); other axes stay as offsets
+        o_a = np.round(offs[:, axis_i]).astype(np.int64)
+        period = n_shards * nl_exact
+        ei = np.stack([ei[0], ei[1] + o_a * period])
+        res_offs = offs.astype(np.float32)
+        res_offs[:, axis_i] -= o_a
+        wrap_shift = cell[axis_i]
+    else:
+        axis_i = int(np.argmax(pos.max(0) - pos.min(0)))
+        perm = np.argsort(pos[:, axis_i], kind="stable")
+        z_s, pos_s = z[perm], pos[perm]
+        ei, _ = radius_graph_np(pos_s, cutoff)
+        order = np.argsort(ei[0], kind="stable")
+        ei = ei[:, order]
+
+    reach = index_reach(ei[0], ei[1])
+    if halo is None:
+        # auto-size with head-room; min_halo keeps a caller's running
+        # geometry monotone (MD: a density fluctuation costs one
+        # recompile, never a crash)
+        halo = _ceil_to(max(int(reach * margin), 8), 8)
+        if min_halo is not None and reach < min_halo:
+            halo = min_halo
+    elif reach >= halo:
+        raise ValueError(
+            f"halo={halo} rows < measured index reach {reach}; widen "
+            f"halo (or let it auto-size)"
+        )
+    if edge_cap is None:
+        need = max(
+            _ceil_to(
+                int(np.bincount(ei[0] // nl_exact,
+                                minlength=n_shards).max())
+                if ei.shape[1] else 1,
+                128,
+            ),
+            128,
+        )
+        edge_cap = _ceil_to(int(need * margin), 128)
+        if min_edge_cap is not None:
+            edge_cap = max(edge_cap, min_edge_cap)
+    stacked, geom = halo_partition(
+        z_s, pos_s, ei, n_shards, halo,
+        cell_offsets=res_offs,
+        edge_cap=edge_cap,
+        periodic=has_cell,
+    )
+    if has_cell:
+        stacked[keys.CELL] = np.broadcast_to(
+            cell.astype(np.float32), (n_shards, 1, 3, 3)
+        ).copy()
+    return stacked, geom, perm, wrap_shift, halo, edge_cap
+
+
+def scatter_labels_to_shards(
+    stacked: Dict[str, np.ndarray],
+    geom: Dict[str, int],
+    values_sorted: np.ndarray,
+) -> np.ndarray:
+    """Spread per-atom labels (already in sorted order) into the owned-row
+    layout of a halo partition: the exact inverse of how
+    :class:`HaloCalculator` reads forces back.  Returns
+    [n_shards, n_local, *value_dims] with zeros on padding rows."""
+    nl, h = geom["n_local"], geom["halo"]
+    n_shards = stacked[keys.NODE_MASK].shape[0]
+    nm = stacked[keys.NODE_MASK][:, h : h + nl].reshape(-1)
+    out = np.zeros((n_shards * nl,) + values_sorted.shape[1:],
+                   dtype=np.asarray(values_sorted).dtype)
+    out[nm] = values_sorted
+    return out.reshape((n_shards, nl) + values_sorted.shape[1:])
+
+
 class HaloCalculator:
     """Multi-chip single-system calculator: MD on one system too large
     for a single chip (beyond the reference, whose largest MD system
@@ -671,78 +857,23 @@ class HaloCalculator:
         charge=None,
         spin=None,
     ) -> Dict[str, np.ndarray]:
-        from ..ops.radius_graph import radius_graph_np, radius_graph_pbc_np
-        from ..ops.spatial_sort import index_reach, sort_axis_pbc
-
         z = np.asarray(atomic_numbers)
         pos = np.asarray(positions, dtype=np.float64)
         n = len(z)
         has_cell = cell is not None and pbc is not None and np.any(pbc)
-        nl_exact = _ceil_to((n + self.n_shards - 1) // self.n_shards, 8)
-
-        res_offs = None
-        wrap_shift = None
-        if has_cell:
-            cell = np.asarray(cell, dtype=float)
-            axis_i = sort_axis_pbc(cell, pbc)
-            frac = pos @ np.linalg.inv(cell)
-            perm = np.argsort(frac[:, axis_i], kind="stable")
-            z_s, pos_s = z[perm], pos[perm]
-            ei, offs = radius_graph_pbc_np(pos_s, cell, pbc, self.cutoff)
-            order = np.argsort(ei[0], kind="stable")
-            ei, offs = ei[:, order], offs[order]
-            # sort-axis images become unwrapped RING rows (period = the
-            # padded global row count); other axes stay as offsets
-            o_a = np.round(offs[:, axis_i]).astype(np.int64)
-            period = self.n_shards * nl_exact
-            ei = np.stack([ei[0], ei[1] + o_a * period])
-            res_offs = offs.astype(np.float32)
-            res_offs[:, axis_i] -= o_a
-            wrap_shift = cell[axis_i]
-        else:
-            axis_i = int(np.argmax(pos.max(0) - pos.min(0)))
-            perm = np.argsort(pos[:, axis_i], kind="stable")
-            z_s, pos_s = z[perm], pos[perm]
-            ei, _ = radius_graph_np(pos_s, self.cutoff)
-            order = np.argsort(ei[0], kind="stable")
-            ei = ei[:, order]
-
-        reach = index_reach(ei[0], ei[1])
-        if self._halo is None:
-            self._halo = _ceil_to(
-                max(int(reach * self._margin), 8), 8
+        stacked, geom, perm, wrap_shift, self._halo, self._edge_cap = (
+            prepare_halo_system(
+                z, pos, self.cutoff, self.n_shards, cell=cell, pbc=pbc,
+                margin=self._margin,
+                min_halo=self._halo, min_edge_cap=self._edge_cap,
             )
-        if reach >= self._halo:  # diffusion widened the reach: recompile
-            self._halo = _ceil_to(int(reach * self._margin), 8)
-        # exact per-shard requirement, with halo_partition's own binning
-        # (owner = dst // n_local): growing the capacity BEFORE the
-        # partition means an MD density fluctuation costs one recompile,
-        # never a crash
-        need = max(
-            _ceil_to(
-                int(np.bincount(ei[0] // nl_exact,
-                                minlength=self.n_shards).max())
-                if ei.shape[1] else 1,
-                128,
-            ),
-            128,
         )
-        if self._edge_cap is None or need > self._edge_cap:
-            self._edge_cap = _ceil_to(int(need * self._margin), 128)
-        stacked, geom = halo_partition(
-            z_s, pos_s, ei, self.n_shards, self._halo,
-            cell_offsets=res_offs,
-            edge_cap=self._edge_cap,
-            periodic=has_cell,
-        )
-        if has_cell:
-            stacked[keys.CELL] = np.broadcast_to(
-                cell.astype(np.float32), (self.n_shards, 1, 3, 3)
-            ).copy()
+        z_s, pos_s = z[perm], pos[perm]
         sig = (geom["n_local"], geom["halo"], self._edge_cap, has_cell)
         if sig not in self._fwd_cache:
             from ..data.batching import collate
             from ..data.datapoint import Datapoint
+            from ..ops.radius_graph import radius_graph_np
 
             m = min(n, 16)
             ei_p, _ = radius_graph_np(pos_s[:m], self.cutoff)

@@ -84,8 +84,251 @@ def _resolve_mesh(tc):
     return make_mesh(n)
 
 
+def run_halo_train(config: XequiConfig, logger=None):
+    """Config-driven spatial-decomposition training (`trainer.gp_devices`):
+    every structure in the dataset is ONE large system halo-decomposed
+    over a gp mesh axis; with ``dp_devices`` > 1 a batch of systems
+    trains over a (dp, gp) 2-D mesh in a single shard_map program
+    (parallel/halo.make_halo_dp_train_step).  The analogous MD knob is
+    the md config's ``halo_devices``.  The reference cannot train
+    systems beyond one GPU (its only parallelism is molecule-batch DDP,
+    reference run/train.py:167-190).
+
+    All systems share one compiled geometry: n_local from the largest
+    system, halo/edge capacities sized over the whole dataset (+margin),
+    so every epoch reuses a single program.
+    """
+    from ..parallel.halo import (
+        GP_AXIS,
+        make_halo_dp_train_step,
+        make_halo_loss_fn,
+        make_halo_train_step,
+        prepare_halo_system,
+        scatter_labels_to_shards,
+        stack_halo_systems,
+    )
+    from ..parallel.mesh import make_mesh, maybe_init_distributed
+    from ..training.lr_schedule import resolve_lr_schedule, resolve_optimizer
+    from ..training.trainer import save_checkpoint
+    from ..utils.compile_cache import enable_compilation_cache
+    from ..utils.config import config_to_dict
+
+    tc, dc, mc = config.trainer, config.data, config.model
+    enable_compilation_cache(tc.compile_cache)
+    maybe_init_distributed()
+    logger = logger or ZeroLogger(os.path.join(tc.save_dir, tc.log_file))
+    if tc.seed is not None:
+        np.random.seed(tc.seed)
+    if mc.default_units:
+        set_default_units(mc.default_units)
+
+    gp = int(tc.gp_devices)
+    avail = jax.device_count()
+    dp = tc.dp_devices if tc.dp_devices > 0 else max(1, avail // gp)
+    if dp * gp > avail:
+        raise ValueError(
+            f"gp_devices={gp} x dp_devices={dp} > {avail} devices"
+        )
+    if mc.model_kwargs.get("use_pallas_scatter"):
+        raise ValueError(
+            "halo training runs the XLA message path; unset "
+            "model_kwargs.use_pallas_scatter"
+        )
+    if dp > 1:
+        mesh = make_mesh(dp * gp, axis_names=("dp", GP_AXIS), shape=(dp, gp))
+    else:
+        mesh = make_mesh(gp, axis_names=(GP_AXIS,))
+    logger.info(f"halo training mesh: dp={dp} x gp={gp}")
+
+    # datasets WITHOUT the neighbor transform: the halo pipeline builds
+    # its own sorted graph per system
+    probe = XDBDataset(dc.db_path, split="train", split_name=dc.split)
+    transform = build_transform_pipeline(
+        data_units=probe.units, base_targets=dc.base_targets, cutoff=None,
+    )
+    train_set = XDBDataset(dc.db_path, split="train", split_name=dc.split,
+                           transform=transform,
+                           max_num_samples=dc.max_num_samples)
+    valid_set = XDBDataset(dc.db_path, split="valid", split_name=dc.split,
+                           transform=transform,
+                           max_num_samples=dc.max_num_samples)
+    logger.info(f"datasets: train={len(train_set)} valid={len(valid_set)}")
+
+    # ---- one uniform geometry over the whole dataset --------------------
+    from ..parallel.halo import _ceil_to
+
+    def sized(ds):
+        return max(len(ds[i].atomic_numbers) for i in range(len(ds)))
+
+    n_max = max(sized(train_set), sized(valid_set))
+    nl_exact = _ceil_to((n_max + gp - 1) // gp, 8)
+    halo0 = tc.halo_width or None
+    cap = None
+    preps = {}
+
+    def prep(ds, i):
+        nonlocal halo0, cap
+        dpnt = ds[i]
+        key = (id(ds), i)
+        if key not in preps:
+            stacked, geom, perm, wshift, halo0, cap = prepare_halo_system(
+                dpnt.atomic_numbers, dpnt.pos, dc.cutoff, gp,
+                cell=dpnt.cell if dpnt.has_cell else None,
+                pbc=dpnt.pbc if dpnt.has_cell else None,
+                halo=None, edge_cap=None, margin=tc.halo_margin,
+                nl_exact=nl_exact, min_halo=halo0, min_edge_cap=cap,
+            )
+            f_arr = (
+                np.asarray(dpnt.forces, np.float32)
+                if dpnt.forces is not None
+                else np.zeros((len(dpnt.atomic_numbers), 3), np.float32)
+            )
+            f_sorted = f_arr[perm]
+            preps[key] = (
+                stacked, geom,
+                np.float32(dpnt.energy),
+                scatter_labels_to_shards(stacked, geom, f_sorted),
+                np.zeros(3, np.float32) if wshift is None
+                else np.asarray(wshift, np.float32),
+            )
+        return preps[key]
+
+    # sizing pass: run every system once so halo0/cap reach their maxima,
+    # then re-prepare any early system built with a smaller capacity
+    for ds in (train_set, valid_set):
+        for i in range(len(ds)):
+            prep(ds, i)
+    final = (halo0, cap)
+    for key in list(preps):
+        if preps[key][1]["halo"] != halo0 or len(
+            preps[key][0][keys.EDGE_MASK][0]
+        ) != cap:
+            del preps[key]
+    for ds in (train_set, valid_set):
+        for i in range(len(ds)):
+            prep(ds, i)
+    assert (halo0, cap) == final
+    geom0 = next(iter(preps.values()))[1]
+    logger.info(
+        f"halo geometry: n_local={geom0['n_local']} halo={halo0} "
+        f"edge_cap={cap}"
+    )
+
+    periodics = {g[1].get("periodic", False) for g in preps.values()}
+    if len(periodics) > 1:
+        raise ValueError(
+            "halo training requires a homogeneous dataset (all periodic "
+            "or all free systems): the exchange-ring topology is part of "
+            "the compiled program"
+        )
+
+    # ---- model / optimizer ----------------------------------------------
+    module, extra, _cutoff = resolve_model(mc.model_name, **mc.model_kwargs)
+    from ..data.batching import collate
+    from ..data.datapoint import Datapoint
+    from ..ops.radius_graph import radius_graph_np
+
+    d0 = train_set[0]
+    m = min(len(d0.atomic_numbers), 16)
+    ei_p, _ = radius_graph_np(np.asarray(d0.pos)[:m], dc.cutoff)
+    params = init_params(
+        module,
+        collate([Datapoint(d0.atomic_numbers[:m], d0.pos[:m],
+                           edge_index=ei_p)]),
+        seed=tc.seed or 0,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info(f"model {mc.model_name}: {n_params / 1e6:.3f}M parameters")
+
+    n_train = len(train_set)
+    steps_per_epoch = max(1, n_train // dp)
+    schedule = resolve_lr_schedule(
+        tc.lr_scheduler, tc.max_lr, tc.max_epochs * steps_per_epoch,
+        warmup_scheduler=tc.warmup_scheduler or "linear",
+        warmup_steps=tc.warmup_epochs * steps_per_epoch,
+        **(tc.lr_scheduler_kwargs or {}),
+    )
+    optimizer = resolve_optimizer(tc.optimizer, schedule,
+                                  **(tc.optimizer_kwargs or {}))
+    w = dict(tc.losses_weight or {})
+    w_e = float(w.get(keys.TOTAL_ENERGY, w.get("energy", 1.0)))
+    w_f = float(w.get(keys.FORCES, w.get("forces", 10.0)))
+    apply_bound = lambda p, d: module.apply({"params": p}, d)
+    if dp > 1:
+        step = make_halo_dp_train_step(
+            apply_bound, mesh, dict(geom0), optimizer,
+            energy_weight=w_e, forces_weight=w_f,
+        )
+    else:
+        step = make_halo_train_step(
+            apply_bound, mesh, dict(geom0), optimizer,
+            energy_weight=w_e, forces_weight=w_f,
+        )
+    eval_loss = make_halo_loss_fn(
+        apply_bound, mesh, dict(geom0),
+        energy_weight=w_e, forces_weight=w_f,
+    )
+
+    def valid_loss(params):
+        tot = 0.0
+        for i in range(len(valid_set)):
+            stacked, geom, e_lbl, f_lbl, wshift = prep(valid_set, i)
+            tot += float(np.asarray(jax.device_get(
+                eval_loss(params, stacked, e_lbl, f_lbl, wshift)
+            )).ravel()[0])
+        return tot / max(len(valid_set), 1)
+
+    state = (params, optimizer.init(params))
+    rng = np.random.default_rng(tc.seed or 0)
+    best = float("inf")
+    os.makedirs(tc.save_dir, exist_ok=True)
+    last_loss = None
+    for epoch in range(tc.max_epochs):
+        order = rng.permutation(n_train)
+        for s in range(steps_per_epoch):
+            idx = order[s * dp : (s + 1) * dp]
+            if len(idx) < dp:
+                break
+            items = [prep(train_set, int(i)) for i in idx]
+            if dp > 1:
+                stacked, _ = stack_halo_systems(
+                    [it[0] for it in items], [it[1] for it in items]
+                )
+                e_lbls = np.asarray([it[2] for it in items], np.float32)
+                f_lbls = np.stack([it[3] for it in items])
+                wshifts = np.stack([it[4] for it in items])
+                state, loss = step(state, stacked, e_lbls, f_lbls, wshifts)
+            else:
+                stacked, geom, e_lbl, f_lbl, wshift = items[0]
+                state, loss = step(
+                    state, stacked, jnp.asarray(e_lbl), jnp.asarray(f_lbl),
+                    wshift,
+                )
+            last_loss = float(np.asarray(jax.device_get(loss)).ravel()[0])
+        vl = valid_loss(state[0])
+        logger.info(
+            f"epoch {epoch + 1}/{tc.max_epochs}: train loss "
+            f"{last_loss:.6f}  valid loss {vl:.6f}"
+        )
+        if jax.process_index() == 0:
+            mconf = config_to_dict(mc)
+            save_checkpoint(
+                os.path.join(tc.save_dir, f"{tc.run_name}_last.ckpt"),
+                state[0], mconf,
+            )
+            if vl < best:
+                best = vl
+                save_checkpoint(
+                    os.path.join(tc.save_dir, f"{tc.run_name}_best.ckpt"),
+                    state[0], mconf,
+                )
+    return state
+
+
 def run_train(config: XequiConfig, logger=None) -> Trainer:
     tc, dc, mc = config.trainer, config.data, config.model
+    if tc.gp_devices and tc.gp_devices > 1:
+        return run_halo_train(config, logger)
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache(tc.compile_cache)

@@ -59,6 +59,16 @@ class TrainerConfig:
     # $XEQ_COMPILE_CACHE), a path string, or False to disable.  Saves the
     # ~116 s production-combo compile on every restart (PERF.md).
     compile_cache: Any = True
+    # ---- spatial-decomposition (halo) training ---------------------------
+    # >1: every training structure is ONE large system halo-decomposed
+    # over this many mesh devices (parallel/halo.py); composes with
+    # dp_devices into a (dp, gp) 2-D mesh (run/train.py run_halo_train).
+    # 0/1 = ordinary molecule-batched dp training.
+    gp_devices: int = 0
+    # halo width in sorted rows (0 = auto from the measured index reach)
+    halo_width: int = 0
+    # head-room factor for auto-sized halo/edge capacities
+    halo_margin: float = 1.3
     # bf16 accuracy mitigation: run the LAST K epochs with
     # compute_dtype/update_compute_dtype switched to float32 (params are
     # dtype-agnostic, so the switch is a re-jit).  The embedded model
