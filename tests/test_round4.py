@@ -11,6 +11,7 @@ checkpoint.  Reference parity target: the ASE ``NPT`` stage of
 import numpy as np
 import pytest
 
+from xequinet_tpu import keys
 from xequinet_tpu.run.dynamics import (
     ENSEMBLE_FACTORY,
     MDState,
@@ -302,3 +303,108 @@ def test_mtk_npt_aniso_runs_and_conserves(rng):
     assert abs(np.linalg.det(ff.cell)) > 0.3 * vols[0]
     p_mean = press[len(press) // 2 :].mean()
     assert abs(p_mean - 1.0) < 0.8, f"mean pressure {p_mean} GPa"
+
+
+# ---------------------------------------------------------------------------
+# tblite/xTB delta-learning adapters: wiring tests against a fake tblite
+# (the real package is not installable here; docs/dependencies.md)
+# ---------------------------------------------------------------------------
+def _install_fake_tblite(monkeypatch, call_log):
+    import sys
+    import types
+
+    tbl = types.ModuleType("tblite")
+    iface = types.ModuleType("tblite.interface")
+
+    class Calculator:
+        def __init__(self, method, numbers, positions, charge=None,
+                     uhf=None, lattice=None, periodic=None):
+            call_log.append({
+                "method": method,
+                "numbers": np.asarray(numbers).copy(),
+                "positions": np.asarray(positions).copy(),
+                "charge": charge, "uhf": uhf,
+            })
+            self._n = len(numbers)
+
+        def singlepoint(self):
+            n = self._n
+
+            class Res:
+                def get(self_inner, key):
+                    if key == "energy":
+                        return -1.5
+                    if key == "gradient":
+                        return np.full((n, 3), 0.01)
+                    if key == "charges":
+                        return np.zeros(n)
+                    if key == "dipole":
+                        return np.array([0.1, 0.0, 0.0])
+                    return None
+
+            return Res()
+
+    iface.Calculator = Calculator
+    tbl.interface = iface
+    monkeypatch.setitem(sys.modules, "tblite", tbl)
+    monkeypatch.setitem(sys.modules, "tblite.interface", iface)
+
+
+def test_xtb_delta_wiring_inference_and_md(tmp_path, rng, monkeypatch):
+    """datapoint_to_xtb positions must reach tblite in Bohr and the
+    correction must be added in model units through run_infer's delta
+    path AND the MD ForceField extra (reference inference.py:56-89,
+    dynamics.py:125-138)."""
+    call_log = []
+    _install_fake_tblite(monkeypatch, call_log)
+
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.data.fmt_conversion import datapoint_to_xtb
+    from xequinet_tpu.run.inference import _delta_correction
+    from xequinet_tpu.utils.qc import unit_conversion
+
+    pos = rng.normal(size=(3, 3)) * 1.2
+    dp = Datapoint(np.array([8, 1, 1], np.int32), pos, charge=0, spin=0)
+    datapoint_to_xtb(dp, method="GFN2-xTB")
+    assert call_log and call_log[-1]["method"] == "GFN2-xTB"
+    a2b = unit_conversion("Angstrom", "Bohr")
+    np.testing.assert_allclose(
+        call_log[-1]["positions"], pos * a2b, rtol=1e-10
+    )
+
+    result = {keys.TOTAL_ENERGY: np.float64(2.0),
+              keys.FORCES: np.zeros((3, 3))}
+    _delta_correction(dp, result, "gfn2")
+    h2ev = unit_conversion("Hartree", "eV")
+    np.testing.assert_allclose(
+        result[keys.TOTAL_ENERGY], 2.0 - 1.5 * h2ev, rtol=1e-8
+    )
+    hb2evA = unit_conversion("Hartree/Bohr", "eV/Angstrom")
+    np.testing.assert_allclose(
+        result[keys.FORCES], -0.01 * hb2evA * np.ones((3, 3)), rtol=1e-8
+    )
+
+    # MD ForceField extra: the delta term rides every force call
+    from xequinet_tpu.run.dynamics import ForceField
+
+    class _CalcStub:
+        units = {}
+
+        def calculate(self, z, p, **kw):
+            return {keys.TOTAL_ENERGY: 1.0, keys.FORCES: np.zeros_like(p)}
+
+    ff = ForceField(_CalcStub(), dp.atomic_numbers)
+
+    from xequinet_tpu.data.fmt_conversion import datapoint_to_xtb as d2x
+
+    def xtb_extra(pos_ang):
+        d = Datapoint(dp.atomic_numbers, pos_ang, charge=0, spin=0)
+        res = d2x(d).singlepoint()
+        h2ev = unit_conversion("Hartree", "eV")
+        b2a = unit_conversion("Bohr", "Angstrom")
+        return res.get("energy") * h2ev, -res.get("gradient") * h2ev / b2a
+
+    ff.extra_calcs.append(xtb_extra)
+    e, f = ff(pos)
+    assert e == pytest.approx(1.0 - 1.5 * h2ev)
+    assert np.allclose(f, -0.01 * h2ev / unit_conversion("Bohr", "Angstrom"))
