@@ -1,0 +1,179 @@
+"""Converged-accuracy + NVE energy-conservation demonstration
+(VERDICT round-3 item 2).
+
+Trains XPaiNN on the synthetic many-body PES (exact analytic force
+labels, tools/make_synthetic_dataset.py) through the production
+`run_train` driver to a fixed >=300-epoch budget, records the
+validation force-MAE curve, evaluates the held-out test split with
+`run_test`, then runs `run_md` NVE from the trained checkpoint and
+measures total-energy drift — the canonical end-to-end validation of a
+force-field stack (reference users get it implicitly via the published
+JCTC model, /root/reference/README.md:43-57).
+
+Usage:
+    python tools/make_synthetic_dataset.py /tmp/synth_ds3k --n 3000
+    python tools/convergence_study.py /tmp/synth_ds3k [--epochs 300]
+
+Writes <out>/convergence.json: the MAE curve, final test metrics, and
+the NVE drift in meV/atom/ps.  Exits non-zero if the drift exceeds
+--drift-bound (default 1 meV/atom/ps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from xequinet_tpu import keys  # noqa: E402
+from xequinet_tpu.utils.config import MDConfig, XequiConfig  # noqa: E402
+
+
+def make_config(db_path: str, save_dir: str, epochs: int) -> XequiConfig:
+    cfg = XequiConfig()
+    cfg.model.model_name = "xpainn"
+    cfg.model.model_kwargs = dict(
+        node_dim=64,
+        node_irreps="64x0e+32x1o+16x2e",
+        embed_basis="one-hot",
+        num_basis=16,
+        action_blocks=3,
+        output_modes=["energy"],
+        remat=False,
+    )
+    cfg.data.db_path = db_path
+    cfg.data.cutoff = 5.0
+    cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
+    cfg.data.batch_size = 64
+    cfg.data.valid_batch_size = 128
+    cfg.data.node_shift = True
+    cfg.trainer.run_name = "converge"
+    cfg.trainer.save_dir = save_dir
+    cfg.trainer.max_epochs = epochs
+    cfg.trainer.warmup_epochs = 5
+    cfg.trainer.max_lr = 1e-3
+    cfg.trainer.lossfn = "l2"
+    cfg.trainer.losses_weight = {keys.TOTAL_ENERGY: 1.0, keys.FORCES: 25.0}
+    cfg.trainer.ema_decay = 0.999
+    cfg.trainer.seed = 42
+    cfg.trainer.log_epochs = 1
+    cfg.trainer.best_k = 3
+    return cfg
+
+
+def parse_curve(logfile: Path):
+    """Validation force-MAE per epoch from the trainer log."""
+    curve = []
+    epoch_re = re.compile(r"[Ee]poch\s+(\d+)")
+    cur = None
+    for line in logfile.read_text().splitlines():
+        m = epoch_re.search(line)
+        if m:
+            cur = int(m.group(1))
+        if "forces" in line and cur is not None:
+            nums = re.findall(r"(\d+\.\d+(?:e[+-]?\d+)?)", line)
+            if nums:
+                curve.append((cur, float(nums[0])))
+                cur = None
+    return curve
+
+
+def nve_drift(ckpt: str, out_dir: Path, steps: int, timestep_fs: float,
+              temperature: float, rng: np.random.Generator):
+    """NVE total-energy drift (meV/atom/ps) of a cluster on the trained
+    model, through the production run_md driver."""
+    from tools.make_synthetic_dataset import sample_structure
+
+    from xequinet_tpu.data.fmt_conversion import write_xyz
+    from xequinet_tpu.run.dynamics import (
+        FS_PER_TIME_UNIT, ForceField, MDState, VelocityVerlet,
+        maxwell_boltzmann,
+    )
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.utils.qc import ATOM_MASS
+
+    dp = sample_structure(rng, n_atoms=24)
+    calc = Calculator(ckpt, use_ema=True)
+    ff = ForceField(calc, dp.atomic_numbers)
+    masses = ATOM_MASS[dp.atomic_numbers]
+    vel = maxwell_boltzmann(masses, temperature, rng)
+    state = MDState(dp.pos.copy(), vel, masses)
+    integ = VelocityVerlet(ff, timestep_fs)
+    e0_pot, _ = ff(state.pos)
+    e0 = e0_pot + state.kinetic_energy()
+    etot = []
+    for i in range(steps):
+        state = integ.step(state, rng)
+        if (i + 1) % 20 == 0:
+            e_pot, _ = ff(state.pos)
+            etot.append(e_pot + state.kinetic_energy())
+    etot = np.asarray(etot)
+    t_ps = (np.arange(1, len(etot) + 1) * 20 * timestep_fs) / 1000.0
+    # linear drift fit (robust to bounded oscillation)
+    slope = np.polyfit(t_ps, etot - e0, 1)[0]  # eV/ps
+    n_atoms = len(dp.atomic_numbers)
+    return {
+        "n_atoms": n_atoms,
+        "steps": steps,
+        "timestep_fs": timestep_fs,
+        "t_ps": float(t_ps[-1]),
+        "max_abs_dev_meV_per_atom": float(
+            np.abs(etot - e0).max() / n_atoms * 1e3
+        ),
+        "drift_meV_per_atom_per_ps": float(abs(slope) / n_atoms * 1e3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("db_path")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--out", default="/tmp/converge_study")
+    ap.add_argument("--md-steps", type=int, default=4000)
+    ap.add_argument("--timestep", type=float, default=0.5)
+    ap.add_argument("--temperature", type=float, default=300.0)
+    ap.add_argument("--drift-bound", type=float, default=1.0,
+                    help="meV/atom/ps")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    from xequinet_tpu.run.test import run_test
+    from xequinet_tpu.run.train import run_train
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = make_config(args.db_path, str(out), args.epochs)
+    ckpt = str(out / "converge_last.ckpt")
+    if not args.skip_train:
+        print(f"=== training {args.epochs} epochs ===", flush=True)
+        run_train(cfg)
+    metrics = run_test(cfg, ckpt_file=ckpt, use_ema=True)
+    print("test metrics:", json.dumps(metrics, default=float), flush=True)
+
+    curve = parse_curve(out / cfg.trainer.log_file)
+    rng = np.random.default_rng(7)
+    drift = nve_drift(ckpt, out, args.md_steps, args.timestep,
+                      args.temperature, rng)
+    print("NVE:", json.dumps(drift), flush=True)
+
+    report = {"epochs": args.epochs, "test": metrics,
+              "valid_force_mae_curve": curve[-50:], "nve": drift}
+    (out / "convergence.json").write_text(
+        json.dumps(report, default=float, indent=1)
+    )
+    if drift["drift_meV_per_atom_per_ps"] > args.drift_bound:
+        print(f"FAIL: NVE drift {drift['drift_meV_per_atom_per_ps']:.3f} "
+              f"> bound {args.drift_bound}")
+        return 1
+    print("NVE drift within bound")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,16 +26,59 @@ def main():
     )
     from xequinet_tpu.training.trainer import make_train_step
 
-    rng = np.random.default_rng(0)
-    batch_np = build_batch(rng)
-    n_real = int(batch_np[keys.EDGE_MASK].sum())
-    mx = int(batch_np[keys.K_NCHUNKS].max())
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-
-    kw = {**FLAGSHIP_KW, "pallas_layout": (KERNEL_BN, 1024, 32, mx)}
+    layout_kw = {"bn": KERNEL_BN, "chunk": 1024}
+    kw_over = {}
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
-        kw[k] = eval(v)
+        if k in layout_kw:
+            layout_kw[k] = int(v)
+        else:
+            kw_over[k] = eval(v)
+
+    rng = np.random.default_rng(0)
+    bn, chunk = layout_kw["bn"], layout_kw["chunk"]
+    if (bn, chunk) == (KERNEL_BN, 1024):
+        batch_np = build_batch(rng)
+    else:
+        # rebuild with a custom kernel slot layout
+        import bench as _b
+
+        orig = _b.KERNEL_BN
+        try:
+            _b.KERNEL_BN = bn
+            batch_np = build_batch(rng)
+        finally:
+            _b.KERNEL_BN = orig
+        if chunk != 1024:
+            from xequinet_tpu.data.batching import collate  # noqa
+            # re-collate with the chunk override
+            batch_np = None
+    if batch_np is None:
+        from xequinet_tpu.data.batching import collate
+        from xequinet_tpu.data.datapoint import Datapoint
+        from xequinet_tpu.ops.radius_graph import radius_graph_np
+
+        rng = np.random.default_rng(0)
+        dps = []
+        for _ in range(1024):
+            n = int(rng.integers(12, 29))
+            pos = rng.normal(size=(n, 3)) * (n ** (1 / 3)) * 0.9
+            ei, _ = radius_graph_np(pos, 5.0)
+            z = rng.integers(1, 9, size=n).astype(np.int32)
+            dps.append(Datapoint(z, pos, edge_index=ei,
+                                 energy=float(rng.normal()),
+                                 forces=rng.normal(size=(n, 3))))
+        layout = {"block_nodes": bn, "chunk": chunk, "pad_nodes": 32,
+                  "max_chunks": 64}
+        batch_np = collate(dps, kernel_layout=layout)
+    n_real = int(batch_np[keys.EDGE_MASK].sum())
+    n_slots = len(batch_np[keys.K_SRC2])
+    mx = int(batch_np[keys.K_NCHUNKS].max())
+    print(f"layout bn={bn} chunk={chunk}: real {n_real} slots {n_slots} "
+          f"(overhead {100*(n_slots-n_real)/n_real:.1f}%)", flush=True)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    kw = {**FLAGSHIP_KW, "pallas_layout": (bn, chunk, 32, mx), **kw_over}
     module, extra_props, _ = resolve_model("xpainn", **kw)
     params = init_params(module, batch_np)
     fwd = make_apply_forward(module, extra_props)

@@ -156,3 +156,17 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sample_structure(rng, n_atoms=24, relax_steps=40):
+    """One relaxed cluster on the true PES (for MD studies)."""
+    from xequinet_tpu.data.datapoint import Datapoint
+
+    efn = make_energy_fn()
+    z, pos = random_cluster(rng, n_atoms)
+    zj = np.asarray(z)
+    for _ in range(relax_steps):
+        e, g = efn(pos, zj)
+        gn = np.linalg.norm(np.asarray(g), axis=-1, keepdims=True)
+        pos = pos - 0.05 * np.asarray(g) / np.maximum(gn, 1.0)
+    return Datapoint(z, pos)

@@ -37,7 +37,12 @@ class O3Linear(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_block: bool = False):
+        """Apply the layer, or with ``return_block`` just build and
+        return ``(w_block, b_lane)`` so a caller can batch several
+        equivariant linears sharing one input into a single matmul
+        (XPainnUpdate fuses U and V this way).  Parameters are created
+        identically in both modes."""
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         sl_in = irreps_in.slices()
@@ -76,6 +81,8 @@ class O3Linear(nn.Module):
                     b_lane = jnp.zeros((irreps_out.dim,), dtype=jnp.float32)
                 b_lane = b_lane.at[sl_out[i_out]].set(b)
 
+        if return_block:
+            return w_block, b_lane
         if cdtype is not None:
             y = jnp.dot(
                 x.astype(cdtype), w_block.astype(cdtype),

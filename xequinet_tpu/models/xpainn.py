@@ -357,8 +357,29 @@ class XPainnUpdate(nn.Module):
             node_scalar = nn.LayerNorm(epsilon=1e-5)(node_scalar)
             node_equi = EquivariantLayerNorm(irreps=irreps)(node_equi)
 
-        u_equi = O3Linear(irreps, irreps, biases=True, compute_dtype=mix_dtype)(node_equi)
-        v_equi = O3Linear(irreps, irreps, biases=True, compute_dtype=mix_dtype)(node_equi)
+        # U and V share the input: build both block matrices and run ONE
+        # [N, dim] @ [dim, 2*dim] matmul (half the matmul boundaries and
+        # one less full read of node_equi; params identical to two
+        # separate O3Linear applications, so checkpoints interoperate)
+        w_u, b_u = O3Linear(
+            irreps, irreps, biases=True, compute_dtype=mix_dtype
+        )(node_equi, return_block=True)
+        w_v, b_v = O3Linear(
+            irreps, irreps, biases=True, compute_dtype=mix_dtype
+        )(node_equi, return_block=True)
+        w_uv = jnp.concatenate([w_u, w_v], axis=-1)
+        if cdtype != jnp.float32:
+            uv = jnp.dot(
+                node_equi.astype(cdtype), w_uv.astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            from jax import lax
+
+            uv = jnp.dot(node_equi, w_uv, precision=lax.Precision.HIGHEST)
+        dim = irreps.dim
+        u_equi = uv[..., :dim] + (0.0 if b_u is None else b_u)
+        v_equi = uv[..., dim:] + (0.0 if b_v is None else b_v)
 
         v_scalar = invariant(v_equi, irreps)
         mlp_in = jnp.concatenate([node_scalar, v_scalar], axis=-1).astype(cdtype)

@@ -150,8 +150,9 @@ def _kernel(
     n_chunks_ref,  # [n_blocks] int32
     window_starts_ref,  # [n_blocks] int32
     # blocked inputs
-    src_ref,  # [C] int32 window-local
-    dst_ref,  # [C] int32 block-local
+    sd_ref,  # [1, 8, C] int32: row 0 = window-local src, row 1 =
+    # block-local dst, rows 2-7 zero padding (8 sublanes keep Mosaic on
+    # its fast layout path; a (1, 2, C) block hangs its compiler)
     ef_ref,  # [C, F] packed edge features
     wf_ref,  # [F, Hp]
     e1_ref,  # [Hp, Dp]
@@ -191,7 +192,7 @@ def _kernel(
         fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
-        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        onehot_src = (col == sd_ref[0, 0][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
             preferred_element_type=jnp.float32, precision=prec,
@@ -204,7 +205,7 @@ def _kernel(
         msg_s = jnp.dot(filter_out, ms_ref[...], preferred_element_type=jnp.float32, precision=prec).astype(mm)
 
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
-        onehot_dst = (rowb == dst_ref[...][None, :]).astype(mm)
+        onehot_dst = (rowb == sd_ref[0, 1][None, :]).astype(mm)
         out_ref[:, :sdp] += jnp.dot(
             onehot_dst, msg_s, preferred_element_type=jnp.float32, precision=prec
         )
@@ -239,9 +240,9 @@ def _mega_call(
         cc = jnp.minimum(c, _refs[1][b] - 1)
         return (_refs[0][b] + cc, 0)
 
-    def idx_flat(b, c, *_refs):
+    def idx_sd(b, c, *_refs):
         cc = jnp.minimum(c, _refs[1][b] - 1)
-        return (_refs[0][b] + cc,)
+        return (_refs[0][b] + cc, 0, 0)
 
     const = lambda b, c, *_refs: (0, 0)
 
@@ -249,8 +250,7 @@ def _mega_call(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, chunk), idx_sd, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
@@ -279,7 +279,18 @@ def _mega_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        src2, dst2,
+        jnp.concatenate(
+            [
+                jnp.stack(
+                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
+                    axis=1,
+                ),
+                jnp.zeros(
+                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
+                ),
+            ],
+            axis=1,
+        ),
         edge_feat.astype(mm),
         wf_aug.astype(mm),
         jnp.asarray(e1, mm), jnp.asarray(e2, mm),
@@ -298,8 +309,9 @@ def _bwd_kernel(
     n_chunks_ref,  # [n_blocks] int32
     window_starts_ref,  # [n_blocks] int32
     # blocked inputs
-    src_ref,  # [C] int32 window-local
-    dst_ref,  # [C] int32 block-local
+    sd_ref,  # [1, 8, C] int32: row 0 = window-local src, row 1 =
+    # block-local dst, rows 2-7 zero padding (8 sublanes keep Mosaic on
+    # its fast layout path; a (1, 2, C) block hangs its compiler)
     ef_ref,  # [C, F]
     g_ref,  # [BN, SDp+Dp] f32 cotangent block
     wf_ref,  # [F, Hp]
@@ -347,7 +359,7 @@ def _bwd_kernel(
         ef = ef_ref[...]
         # cotangent gather by dst: padding slots (dst == BN) match no row
         colb = jax.lax.broadcasted_iota(jnp.int32, (c_sz, bn), 1)
-        onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
+        onehot_dst = (colb == sd_ref[0, 1][:, None]).astype(mm)
         gm = jnp.dot(
             onehot_dst, g_ref[...].astype(mm),
             preferred_element_type=jnp.float32, precision=prec,
@@ -358,7 +370,7 @@ def _bwd_kernel(
         # recompute forward intermediates (MXU flops, zero HBM)
         fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
-        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        onehot_src = (col == sd_ref[0, 0][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
             preferred_element_type=jnp.float32, precision=prec,
@@ -442,9 +454,9 @@ def _mega_bwd_call(
         cc = jnp.minimum(c, _refs[1][b] - 1)
         return (_refs[0][b] + cc, 0)
 
-    def idx_flat(b, c, *_refs):
+    def idx_sd(b, c, *_refs):
         cc = jnp.minimum(c, _refs[1][b] - 1)
-        return (_refs[0][b] + cc,)
+        return (_refs[0][b] + cc, 0, 0)
 
     const = lambda b, c, *_refs: (0, 0)
 
@@ -452,8 +464,7 @@ def _mega_bwd_call(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, chunk), idx_sd, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
@@ -492,7 +503,18 @@ def _mega_bwd_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        src2, dst2,
+        jnp.concatenate(
+            [
+                jnp.stack(
+                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
+                    axis=1,
+                ),
+                jnp.zeros(
+                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
+                ),
+            ],
+            axis=1,
+        ),
         edge_feat.astype(mm),
         g_pad,
         wf_aug.astype(mm),
@@ -528,8 +550,9 @@ def _bwd2_kernel(
     n_chunks_ref,  # [n_blocks] int32
     window_starts_ref,  # [n_blocks] int32
     # blocked inputs
-    src_ref,  # [C] int32 window-local
-    dst_ref,  # [C] int32 block-local
+    sd_ref,  # [1, 8, C] int32: row 0 = window-local src, row 1 =
+    # block-local dst, rows 2-7 zero padding (8 sublanes keep Mosaic on
+    # its fast layout path; a (1, 2, C) block hangs its compiler)
     ef_ref,  # [C, F]
     cef_ref,  # [C, F] cotangent on d_edge_feat
     g_ref,  # [BN, SDp+Dp] f32 first-order cotangent block
@@ -609,7 +632,7 @@ def _bwd2_kernel(
         cef = cef_ref[...]
         # gathers: cotangent at dst, state + dx-cotangent at src
         colb = jax.lax.broadcasted_iota(jnp.int32, (c_sz, bn), 1)
-        onehot_dst = (colb == dst_ref[...][:, None]).astype(mm)
+        onehot_dst = (colb == sd_ref[0, 1][:, None]).astype(mm)
         gm = jnp.dot(
             onehot_dst, g_ref[...].astype(mm),
             preferred_element_type=jnp.float32, precision=prec,
@@ -617,7 +640,7 @@ def _bwd2_kernel(
         gms_s = gm[:, :sdp]
         gms_v = gm[:, sdp:]
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
-        onehot_src = (col == src_ref[...][:, None]).astype(mm)
+        onehot_src = (col == sd_ref[0, 0][:, None]).astype(mm)
         gathered = jnp.dot(
             onehot_src, xwin_ref[...].astype(mm),
             preferred_element_type=jnp.float32, precision=prec,
@@ -713,7 +736,7 @@ def _bwd2_kernel(
             axis=-1,
         )
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
-        onehot_dst_t = (rowb == dst_ref[...][None, :]).astype(mm)
+        onehot_dst_t = (rowb == sd_ref[0, 1][None, :]).astype(mm)
         d2g_ref[...] += jnp.dot(
             onehot_dst_t, d2g_rows, preferred_element_type=jnp.float32, precision=prec
         )
@@ -748,9 +771,9 @@ def _mega_bwd2_call(
         cc = jnp.minimum(c, _refs[1][b] - 1)
         return (_refs[0][b] + cc, 0)
 
-    def idx_flat(b, c, *_refs):
+    def idx_sd(b, c, *_refs):
         cc = jnp.minimum(c, _refs[1][b] - 1)
-        return (_refs[0][b] + cc,)
+        return (_refs[0][b] + cc, 0, 0)
 
     const = lambda b, c, *_refs: (0, 0)
 
@@ -758,8 +781,7 @@ def _mega_bwd2_call(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk,), idx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, chunk), idx_sd, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -809,7 +831,18 @@ def _mega_bwd2_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        src2, dst2,
+        jnp.concatenate(
+            [
+                jnp.stack(
+                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
+                    axis=1,
+                ),
+                jnp.zeros(
+                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
+                ),
+            ],
+            axis=1,
+        ),
         edge_feat.astype(mm),
         cef.astype(mm),
         g_pad,
