@@ -29,8 +29,11 @@ HISTORY = os.path.join(
 )
 
 # mega-kernel slot layout: destination block size (PERF.md round-2 sweep:
-# BN=512 balances slot-padding overhead vs per-block onehot width)
+# BN=512 balances slot-padding overhead vs per-block onehot width);
+# chunk=512 (round 4) cuts slot padding 19% -> 7% at equal per-chunk
+# MXU efficiency
 KERNEL_BN = 512
+KERNEL_CHUNK = 512
 
 FLAGSHIP_KW = dict(
     node_dim=128,
@@ -67,8 +70,8 @@ def build_batch(rng, n_mols=1024, atoms_lo=12, atoms_hi=28, cutoff=5.0):
         e = float(rng.normal())
         f = rng.normal(size=(n, 3))
         dps.append(Datapoint(z, pos, edge_index=ei, energy=e, forces=f))
-    layout = {"block_nodes": KERNEL_BN, "chunk": 1024, "pad_nodes": 32,
-              "max_chunks": 32}
+    layout = {"block_nodes": KERNEL_BN, "chunk": KERNEL_CHUNK,
+              "pad_nodes": 32, "max_chunks": 64}
     return collate(dps, kernel_layout=layout)
 
 
@@ -93,8 +96,8 @@ def build_crystal_batch(rng, n_cells=640, cutoff=5.0):
             forces=rng.normal(size=(n, 3)).astype(np.float32),
             virial=rng.normal(size=(3, 3)).astype(np.float32),
         ))
-    layout = {"block_nodes": 256, "chunk": 1024, "pad_nodes": 32,
-              "max_chunks": 64}
+    layout = {"block_nodes": 256, "chunk": KERNEL_CHUNK, "pad_nodes": 32,
+              "max_chunks": 128}
     return collate(dps, kernel_layout=layout)
 
 
@@ -113,7 +116,7 @@ def _train_step_metric(batch_np, compute_virial, bn, max_chunks, iters=10):
     from xequinet_tpu.training.trainer import make_train_step
 
     kw = dict(FLAGSHIP_KW)
-    kw["pallas_layout"] = (bn, 1024, 32, max_chunks)
+    kw["pallas_layout"] = (bn, KERNEL_CHUNK, 32, max_chunks)
     module, extra, _ = resolve_model("xpainn", **kw)
     params = init_params(module, batch_np)
     apply_forward = make_apply_forward(module, extra)
@@ -248,7 +251,7 @@ def accuracy_gate():
     rng = np.random.default_rng(1234)
     small = build_batch(rng, n_mols=128)
     mx = int(small["k_nchunks"].max())
-    layout = (KERNEL_BN, 1024, 32, mx)
+    layout = (KERNEL_BN, KERNEL_CHUNK, 32, mx)
     got = {}
     got["xla"] = _forward_checksum(
         {**FLAGSHIP_KW, "use_pallas_scatter": False}, small
@@ -259,7 +262,7 @@ def accuracy_gate():
     crystal = build_crystal_batch(np.random.default_rng(1234), n_cells=64)
     mxc = int(crystal["k_nchunks"].max())
     got["pbc_mega"] = _forward_checksum(
-        {**FLAGSHIP_KW, "pallas_layout": (256, 1024, 32, mxc)},
+        {**FLAGSHIP_KW, "pallas_layout": (256, KERNEL_CHUNK, 32, mxc)},
         crystal, compute_virial=True,
     )
     # cross-path consistency: mega vs XLA within the shared bf16 envelope

@@ -265,7 +265,7 @@ class Calculator:
             n_ext = n
 
         bn = 512 if node_cap >= 2048 else 256
-        chunk = 1024  # Mosaic: 1-D int32 blocks must be 1024-wide
+        chunk = 512  # round 4: halved slot padding at equal MXU efficiency
         pad = ((int(reach * 1.25) + 15) // 8) * 8
         if prev and prev["bn"] == bn and prev["pad"] >= pad:
             pad = prev["pad"]  # keep shapes stable across MD steps
@@ -478,6 +478,8 @@ class Calculator:
         r_build = self.cutoff + self.skin
 
         def job():
+            # numpy/C++ host pipeline + device uploads; jax transfers are
+            # thread-safe and overlap the main thread's step queue
             from ..ops.radius_graph import (
                 radius_graph_np, radius_graph_pbc_np,
             )
@@ -492,6 +494,16 @@ class Calculator:
                     z, pos, ei, n, n_cap, e_cap, charge, spin,
                     cell=cellc, pbc=pbcc, offs=offs,
                 )
+                if built is not None:
+                    # upload off the critical path too: transfers from
+                    # the worker thread overlap the device's step queue
+                    batch, meta = built
+                    meta["dev_static"] = {
+                        k: jnp.asarray(v) for k, v in batch.items()
+                        if k != keys.POSITIONS
+                    }
+                    meta["rows"] = batch[keys.POSITIONS].shape[0]
+                    built = (batch, meta)
                 return ("mega", built)
             ei, offs = radius_graph_pbc_np(pos, cellc, pbcc, r_build)
             ne = ei.shape[1]
@@ -503,8 +515,10 @@ class Calculator:
             cell_offsets = np.zeros((e_cap, 3), dtype=np.float32)
             cell_offsets[:ne] = offs
             return ("pbc", {
-                "edge_index": edge_index, "edge_mask": edge_mask,
-                "cell_offsets": cell_offsets, "n_cap": n_cap,
+                "ei_dev": jnp.asarray(edge_index),
+                "em_dev": jnp.asarray(edge_mask),
+                "co_dev": jnp.asarray(cell_offsets),
+                "n_cap": n_cap,
                 "e_cap": e_cap, "pos_build": pos, "n": n,
             })
 
@@ -547,15 +561,12 @@ class Calculator:
             self._skin_state = {
                 **st,
                 "n": meta["n"],
-                "rows": batch[keys.POSITIONS].shape[0],
+                "rows": meta["rows"],
                 "n_ext": meta["n_ext"],
                 "ext_real": meta["ext_real"],
                 "real_rank": meta["real_rank"],
                 "pos_build": meta["pos_build"],
-                "dev_static": {
-                    k: jnp.asarray(v) for k, v in batch.items()
-                    if k != keys.POSITIONS
-                },
+                "dev_static": meta["dev_static"],
             }
         else:
             if st is None or st.get("kind") != "pbc":
@@ -568,9 +579,9 @@ class Calculator:
                 **st,
                 "n": payload["n"],
                 "pos_build": payload["pos_build"],
-                "ei_dev": jnp.asarray(payload["edge_index"]),
-                "em_dev": jnp.asarray(payload["edge_mask"]),
-                "co_dev": jnp.asarray(payload["cell_offsets"]),
+                "ei_dev": payload["ei_dev"],
+                "em_dev": payload["em_dev"],
+                "co_dev": payload["co_dev"],
             }
         self.n_rebuilds += 1
         self.n_async_swaps += 1
