@@ -408,3 +408,54 @@ def test_xtb_delta_wiring_inference_and_md(tmp_path, rng, monkeypatch):
     e, f = ff(pos)
     assert e == pytest.approx(1.0 - 1.5 * h2ev)
     assert np.allclose(f, -0.01 * h2ev / unit_conversion("Bohr", "Angstrom"))
+
+
+# ---------------------------------------------------------------------------
+# NVE energy conservation through the production Calculator + integrator
+# ---------------------------------------------------------------------------
+def test_nve_energy_conservation_calculator(tmp_path, rng):
+    """Velocity-Verlet on the (smooth) model PES must conserve
+    Epot + Ekin — the canonical end-to-end check of the Calculator +
+    integrator stack (the trained-model, on-chip version lives in
+    tools/convergence_study.py / PERF.md)."""
+    import numpy as np
+
+    from xequinet_tpu.data.batching import collate
+    from xequinet_tpu.data.datapoint import Datapoint
+    from xequinet_tpu.interface.calculator import Calculator
+    from xequinet_tpu.models.model import init_params, resolve_model
+    from xequinet_tpu.ops.radius_graph import radius_graph_np
+    from xequinet_tpu.run.dynamics import (
+        ForceField, MDState, VelocityVerlet, maxwell_boltzmann,
+    )
+    from xequinet_tpu.training.trainer import save_checkpoint
+    from xequinet_tpu.utils.config import ModelConfig, config_to_dict
+    from xequinet_tpu.utils.qc import ATOM_MASS
+
+    kw = dict(node_dim=16, node_irreps="16x0e+8x1o+4x2e",
+              embed_basis="one-hot", num_basis=8, cutoff=5.0,
+              action_blocks=1, output_modes=["energy"])
+    module, extra, _ = resolve_model("xpainn", **kw)
+    z = rng.integers(1, 5, 6).astype(np.int32)
+    pos = rng.normal(size=(6, 3)) * 1.8
+    ei, _ = radius_graph_np(pos, 5.0)
+    params = init_params(module, collate([Datapoint(z, pos, edge_index=ei)]))
+    ckpt = str(tmp_path / "nve.ckpt")
+    save_checkpoint(ckpt, params, config_to_dict(
+        ModelConfig(model_name="xpainn", model_kwargs=kw)))
+
+    ff = ForceField(Calculator(ckpt), z)
+    masses = ATOM_MASS[z]
+    vel = maxwell_boltzmann(masses, 50.0, rng)
+    state = MDState(pos.copy(), vel, masses)
+    integ = VelocityVerlet(ff, timestep_fs=0.25)
+    e0_pot, _ = ff(state.pos)
+    e0 = e0_pot + state.kinetic_energy()
+    devs = []
+    for i in range(200):
+        state = integ.step(state, rng)
+        if (i + 1) % 20 == 0:
+            e_pot, _ = ff(state.pos)
+            devs.append(abs(e_pot + state.kinetic_energy() - e0))
+    # f32 Calculator forward + dt=0.25 fs: meV-scale bound per atom
+    assert max(devs) / len(z) < 2e-3, f"NVE drift {max(devs)} eV"

@@ -68,19 +68,21 @@ def make_config(db_path: str, save_dir: str, epochs: int) -> XequiConfig:
 
 
 def parse_curve(logfile: Path):
-    """Validation force-MAE per epoch from the trainer log."""
+    """Validation force-MAE per epoch from the trainer log: the metric
+    table row 'forces  <MAE>  <RMSE>  <count>' precedes the
+    '== epoch N done' line."""
     curve = []
-    epoch_re = re.compile(r"[Ee]poch\s+(\d+)")
-    cur = None
+    done_re = re.compile(r"== epoch\s+(\d+)\s+done")
+    pending = None
     for line in logfile.read_text().splitlines():
-        m = epoch_re.search(line)
-        if m:
-            cur = int(m.group(1))
-        if "forces" in line and cur is not None:
+        if re.search(r"\bforces\b", line):
             nums = re.findall(r"(\d+\.\d+(?:e[+-]?\d+)?)", line)
             if nums:
-                curve.append((cur, float(nums[0])))
-                cur = None
+                pending = float(nums[0])
+        m = done_re.search(line)
+        if m and pending is not None:
+            curve.append((int(m.group(1)), pending))
+            pending = None
     return curve
 
 
