@@ -100,12 +100,33 @@ def nve_drift(ckpt: str, out_dir: Path, steps: int, timestep_fs: float,
     from xequinet_tpu.interface.calculator import Calculator
     from xequinet_tpu.utils.qc import ATOM_MASS
 
+    from xequinet_tpu.run.dynamics import FIREStage, Langevin
+
     dp = sample_structure(rng, n_atoms=24)
-    calc = Calculator(ckpt, use_ema=True)
+    # exact-f32 MXU dots: the TPU default (single-pass bf16) adds ~1e-3
+    # relative force noise, which is NON-conservative and shows up
+    # directly as NVE drift (measured: 80 meV/atom/ps at default
+    # precision vs the f32 figure reported in PERF.md)
+    calc = Calculator(ckpt, use_ema=True, matmul_precision="float32")
     ff = ForceField(calc, dp.atomic_numbers)
     masses = ATOM_MASS[dp.atomic_numbers]
-    vel = maxwell_boltzmann(masses, temperature, rng)
-    state = MDState(dp.pos.copy(), vel, masses)
+
+    # standard protocol: relax on the MODEL PES (the generator's crude
+    # true-PES descent leaves several eV of strain — MB init on top of
+    # that instantly boils the cluster into the model's extrapolation
+    # region), then thermalize with Langevin, THEN measure NVE
+    state = MDState(dp.pos.copy(), np.zeros_like(dp.pos), masses)
+    fire = FIREStage(ff, timestep_fs, fmax=0.05)
+    for _ in range(800):
+        state = fire.step(state, rng)
+        if fire.converged:
+            break
+    state = MDState(state.pos, maxwell_boltzmann(masses, temperature, rng),
+                    masses)
+    lang = Langevin(ff, timestep_fs, temperature, friction_fs=0.02)
+    for _ in range(600):
+        state = lang.step(state, rng)
+    state = MDState(state.pos, state.vel, masses)
     integ = VelocityVerlet(ff, timestep_fs)
     e0_pot, _ = ff(state.pos)
     e0 = e0_pot + state.kinetic_energy()
