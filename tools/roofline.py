@@ -158,16 +158,20 @@ def main():
     statics = (str(irreps), num_basis, node_dim, n_padded, BN, CHUNK,
                window, max_chunks, "bfloat16", True)
 
+    def _sync(out):
+        # value-fetch of ONE element: block_until_ready does not drain
+        # the axon queue (and fetching the full 100+ MB outputs would
+        # dominate the measurement 10-100x)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(jax.device_get(leaf.ravel()[0])))
+
     def time_fn(fn, *args, iters=20):
-        # block_until_ready syncs WITHOUT a device->host transfer — the
-        # kernel outputs are 100+ MB and fetching them through the axon
-        # tunnel would dominate the measurement by 10-100x
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         return (time.perf_counter() - t0) / iters
 
     f_fwd = jax.jit(lambda x: fused_message(x, ef, wf, slot_meta, em,

@@ -265,7 +265,9 @@ class Calculator:
             n_ext = n
 
         bn = 512 if node_cap >= 2048 else 256
-        chunk = 512  # round 4: halved slot padding at equal MXU efficiency
+        chunk = 1024  # MD shapes: fewer grid steps beat the ~4% padding
+        # a chunk=512 layout measured 107 vs 98 ms/call on the 10k-atom
+        # skin hot loop (tools/md_breakdown.py) — training batches use 512
         pad = ((int(reach * 1.25) + 15) // 8) * 8
         if prev and prev["bn"] == bn and prev["pad"] >= pad:
             pad = prev["pad"]  # keep shapes stable across MD steps
