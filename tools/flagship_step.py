@@ -15,7 +15,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import FLAGSHIP_KW, KERNEL_BN, build_batch
+    from bench import FLAGSHIP_KW, KERNEL_BN, KERNEL_CHUNK, build_batch
     from xequinet_tpu import keys
     from xequinet_tpu.models.model import (
         init_params, make_apply_forward, resolve_model,
@@ -26,7 +26,7 @@ def main():
     )
     from xequinet_tpu.training.trainer import make_train_step
 
-    layout_kw = {"bn": KERNEL_BN, "chunk": 1024}
+    layout_kw = {"bn": KERNEL_BN, "chunk": KERNEL_CHUNK}
     kw_over = {}
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
@@ -37,7 +37,7 @@ def main():
 
     rng = np.random.default_rng(0)
     bn, chunk = layout_kw["bn"], layout_kw["chunk"]
-    if (bn, chunk) == (KERNEL_BN, 1024):
+    if (bn, chunk) == (KERNEL_BN, KERNEL_CHUNK):
         batch_np = build_batch(rng)
     else:
         # rebuild with a custom kernel slot layout
@@ -49,7 +49,7 @@ def main():
             batch_np = build_batch(rng)
         finally:
             _b.KERNEL_BN = orig
-        if chunk != 1024:
+        if chunk != KERNEL_CHUNK:
             from xequinet_tpu.data.batching import collate  # noqa
             # re-collate with the chunk override
             batch_np = None
