@@ -165,6 +165,10 @@ def run_halo_train(config: XequiConfig, logger=None):
     halo0 = tc.halo_width or None
     cap = None
     preps = {}
+    # cache partitions for small datasets (the supercell-training case);
+    # past this many systems, re-partition per use instead of holding
+    # every padded partition in host memory
+    cache_cap = max(64, 8 * dp)
 
     def prep(ds, i):
         nonlocal halo0, cap
@@ -191,6 +195,8 @@ def run_halo_train(config: XequiConfig, logger=None):
                 np.zeros(3, np.float32) if wshift is None
                 else np.asarray(wshift, np.float32),
             )
+            if len(preps) > cache_cap:
+                preps.pop(next(k for k in preps if k != key))
         return preps[key]
 
     # sizing pass: run every system once so halo0/cap reach their maxima,
