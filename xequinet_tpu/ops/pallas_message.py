@@ -154,11 +154,8 @@ def _kernel(
     # block-local dst, rows 2-7 zero padding (8 sublanes keep Mosaic on
     # its fast layout path; a (1, 2, C) block hangs its compiler)
     ef_ref,  # [C, F] packed edge features
-    wf_ref,  # [F, Hp]
-    e1_ref,  # [Hp, Dp]
-    e2_ref,  # [Hp, Dp]
-    ms_ref,  # [Hp, SDp]
-    by_ref,  # [F, Dp]
+    wfby_ref,  # [F, Hp+Dp] = [Wf_aug | BY]
+    e123_ref,  # [Hp, 2*Dp+SDp] = [E1 | E2 | MS]
     x_ref,  # [N, Hp+Dp] HBM
     # output
     out_ref,  # [BN, SDp+Dp] f32, revisited across c
@@ -166,13 +163,21 @@ def _kernel(
     xwin_ref,  # [W, Hp+Dp]
     sem_x,
 ):
+    """All per-chunk math rides FOUR large MXU dots (round-4.2: the
+    previous eight smaller dots — separate filter/harmonic projections
+    and gate expansions, split scatter — measured 67% of roofline; the
+    merged operands lift per-dot occupancy at identical math: the
+    structure matrices are concatenated host-side, so ``ef @ [Wf|BY]``
+    yields the radial filter AND the broadcast harmonics, and
+    ``fo @ [E1|E2|MS]`` yields both gate expansions AND the scalar
+    messages in one pass)."""
     b = pl.program_id(0)
     c = pl.program_id(1)
     bn = out_ref.shape[0]
     w_dim = xwin_ref.shape[0]
     c_sz = ef_ref.shape[0]
-    hp = wf_ref.shape[1]
-    sdp = ms_ref.shape[1]
+    hp = e123_ref.shape[0]
+    dp = xwin_ref.shape[1] - hp
     mm = ef_ref.dtype  # matmul dtype (bf16 in production)
     prec = _dot_precision(mm)
 
@@ -189,7 +194,11 @@ def _kernel(
     @pl.when(c < n_chunks_ref[b])
     def _():
         ef = ef_ref[...]
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        fwrsh = jnp.dot(
+            ef, wfby_ref[...], preferred_element_type=jnp.float32, precision=prec
+        )
+        fw = fwrsh[:, :hp]
+        rshx = fwrsh[:, hp:]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
         onehot_src = (col == sd_ref[0, 0][:, None]).astype(mm)
@@ -198,19 +207,20 @@ def _kernel(
             preferred_element_type=jnp.float32, precision=prec,
         )
         filter_out = (gathered[:, :hp] * fw).astype(mm)
-        g1x = jnp.dot(filter_out, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        g2x = jnp.dot(filter_out, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        rshx = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        msg_v = (gathered[:, hp:] * g1x + rshx * g2x).astype(mm)
-        msg_s = jnp.dot(filter_out, ms_ref[...], preferred_element_type=jnp.float32, precision=prec).astype(mm)
+        g123 = jnp.dot(
+            filter_out, e123_ref[...],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        g1x = g123[:, :dp]
+        g2x = g123[:, dp : 2 * dp]
+        msg_s = g123[:, 2 * dp :]
+        msg_v = gathered[:, hp:] * g1x + rshx * g2x
+        msg = jnp.concatenate([msg_s, msg_v], axis=-1).astype(mm)
 
         rowb = jax.lax.broadcasted_iota(jnp.int32, (bn, c_sz), 0)
         onehot_dst = (rowb == sd_ref[0, 1][None, :]).astype(mm)
-        out_ref[:, :sdp] += jnp.dot(
-            onehot_dst, msg_s, preferred_element_type=jnp.float32, precision=prec
-        )
-        out_ref[:, sdp:] += jnp.dot(
-            onehot_dst, msg_v, preferred_element_type=jnp.float32, precision=prec
+        out_ref[...] += jnp.dot(
+            onehot_dst, msg, preferred_element_type=jnp.float32, precision=prec
         )
 
 
@@ -246,17 +256,18 @@ def _mega_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
+    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
+    wfby = jnp.concatenate(
+        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
+    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
         in_specs=[
             pl.BlockSpec((1, 8, chunk), idx_sd, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, F_PACK), idx_chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, xw), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * dp + sdp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -292,9 +303,8 @@ def _mega_call(
             axis=1,
         ),
         edge_feat.astype(mm),
-        wf_aug.astype(mm),
-        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
-        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        wfby,
+        jnp.asarray(e123, mm),
         x_cat.astype(mm),
     )
     return out[:n_out]
@@ -314,11 +324,8 @@ def _bwd_kernel(
     # its fast layout path; a (1, 2, C) block hangs its compiler)
     ef_ref,  # [C, F]
     g_ref,  # [BN, SDp+Dp] f32 cotangent block
-    wf_ref,  # [F, Hp]
-    e1_ref,  # [Hp, Dp]
-    e2_ref,  # [Hp, Dp]
-    ms_ref,  # [Hp, SDp]
-    by_ref,  # [F, Dp]
+    wfby_ref,  # [F, Hp+Dp] = [Wf_aug | BY]
+    e123_ref,  # [Hp, 2*Dp+SDp] = [E1 | E2 | MS]
     x_ref,  # [N, Hp+Dp] HBM
     # outputs
     dxwin_ref,  # [1, W, Hp+Dp] f32 per-block window accumulator
@@ -328,13 +335,18 @@ def _bwd_kernel(
     xwin_ref,  # [W, Hp+Dp]
     sem_x,
 ):
+    """Merged-operand variant (see `_kernel`): the forward recompute and
+    every cotangent contraction ride the concatenated [Wf|BY] and
+    [E1|E2|MS] operands, so the chunk runs 8 large dots instead of 12
+    smaller ones — identical math, higher MXU occupancy."""
     b = pl.program_id(0)
     c = pl.program_id(1)
     bn = g_ref.shape[0]
     w_dim = xwin_ref.shape[0]
     c_sz = ef_ref.shape[0]
-    hp = wf_ref.shape[1]
-    sdp = ms_ref.shape[1]
+    hp = e123_ref.shape[0]
+    dp = xwin_ref.shape[1] - hp
+    sdp = g_ref.shape[1] - dp
     mm = ef_ref.dtype
     prec = _dot_precision(mm)
 
@@ -368,7 +380,11 @@ def _bwd_kernel(
         gms_v = gm[:, sdp:]
 
         # recompute forward intermediates (MXU flops, zero HBM)
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        fwrsh = jnp.dot(
+            ef, wfby_ref[...], preferred_element_type=jnp.float32, precision=prec
+        )
+        fw = fwrsh[:, :hp]
+        rsh = fwrsh[:, hp:]
         col = jax.lax.broadcasted_iota(jnp.int32, (c_sz, w_dim), 1)
         onehot_src = (col == sd_ref[0, 0][:, None]).astype(mm)
         gathered = jnp.dot(
@@ -378,38 +394,33 @@ def _bwd_kernel(
         gs = gathered[:, :hp]
         gv = gathered[:, hp:]
         fo = (gs * fw).astype(mm)
-        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        g12 = jnp.dot(
+            fo, e123_ref[...][:, : 2 * dp],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        g1 = g12[:, :dp]
+        g2 = g12[:, dp:]
 
         dgv = (g1 * gms_v).astype(mm)
-        dfo = (
-            jax.lax.dot_general(
-                (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                gms_s.astype(mm), ms_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        # dfo = (gv*gms_v)@E1' + (rsh*gms_v)@E2' + gms_s@MS' as ONE
+        # contraction against [E1|E2|MS]
+        dfo = jax.lax.dot_general(
+            jnp.concatenate(
+                [(gv * gms_v).astype(mm), (rsh * gms_v).astype(mm),
+                 gms_s.astype(mm)],
+                axis=-1,
+            ),
+            e123_ref[...], contract_rhs,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         drsh = (g2 * gms_v).astype(mm)
         dgs = (dfo * fw).astype(mm)
         dfw = (dfo * gs).astype(mm)
 
-        def_ref[...] = (
-            jax.lax.dot_general(
-                dfw, wf_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                drsh, by_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        # def = dfw@Wf' + drsh@BY' as ONE contraction against [Wf|BY]
+        def_ref[...] = jax.lax.dot_general(
+            jnp.concatenate([dfw, drsh], axis=-1), wfby_ref[...],
+            contract_rhs, preferred_element_type=jnp.float32, precision=prec,
         )
         dwf_ref[...] += jax.lax.dot_general(
             ef, dfw, contract_lhs0, preferred_element_type=jnp.float32, precision=prec
@@ -460,6 +471,10 @@ def _mega_bwd_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
+    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
+    wfby = jnp.concatenate(
+        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
+    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
@@ -470,11 +485,8 @@ def _mega_bwd_call(
                 (block_nodes, sdp + dp), lambda b, c, *_: (b, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, xw), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * dp + sdp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
@@ -517,9 +529,8 @@ def _mega_bwd_call(
         ),
         edge_feat.astype(mm),
         g_pad,
-        wf_aug.astype(mm),
-        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
-        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        wfby,
+        jnp.asarray(e123, mm),
         x_cat.astype(mm),
     )
     rows = (
@@ -557,11 +568,8 @@ def _bwd2_kernel(
     cef_ref,  # [C, F] cotangent on d_edge_feat
     g_ref,  # [BN, SDp+Dp] f32 first-order cotangent block
     cwf_ref,  # [F, Hp] cotangent on d_wf_aug
-    wf_ref,  # [F, Hp]
-    e1_ref,  # [Hp, Dp]
-    e2_ref,  # [Hp, Dp]
-    ms_ref,  # [Hp, SDp]
-    by_ref,  # [F, Dp]
+    wfby_ref,  # [F, Hp+Dp] = [Wf_aug | BY]
+    e123_ref,  # [Hp, 2*Dp+SDp] = [E1 | E2 | MS]
     x_ref,  # [N, Hp+Dp] HBM
     cx_ref,  # [N, Hp+Dp] HBM cotangent on dx_cat
     # outputs
@@ -593,14 +601,16 @@ def _bwd2_kernel(
     with U = (cxv*gms_v)@E1' + ((cef@BY)*gms_v)@E2'.  Same one-hot MXU
     structure as the forward/backward kernels; padding slots contribute
     exactly zero because every term carries a gms factor and padding dst
-    matches no row of g."""
+    matches no row of g.  Like `_kernel`/`_bwd_kernel`, every projection
+    rides the merged [Wf|BY] and [E1|E2|MS] operands."""
     b = pl.program_id(0)
     c = pl.program_id(1)
     bn = g_ref.shape[0]
     w_dim = xwin_ref.shape[0]
     c_sz = ef_ref.shape[0]
-    hp = wf_ref.shape[1]
-    sdp = ms_ref.shape[1]
+    hp = e123_ref.shape[0]
+    dp = xwin_ref.shape[1] - hp
+    sdp = g_ref.shape[1] - dp
     mm = ef_ref.dtype
     prec = _dot_precision(mm)
     contract_rhs = (((1,), (1,)), ((), ()))  # a[C,K] x m[J,K] -> [C,J]
@@ -655,56 +665,59 @@ def _bwd2_kernel(
         cxv = cxe[:, hp:]
 
         # recompute forward + first-order intermediates (VMEM-only)
-        fw = jnp.dot(ef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        fwrsh = jnp.dot(
+            ef, wfby_ref[...], preferred_element_type=jnp.float32, precision=prec
+        )
+        fw = fwrsh[:, :hp]
+        rsh = fwrsh[:, hp:]
         fo = (gs * fw).astype(mm)
-        g1 = jnp.dot(fo, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        g2 = jnp.dot(fo, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        rsh = jnp.dot(ef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        dfo = (
-            jax.lax.dot_general(
-                (gv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                (rsh * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                gms_s.astype(mm), ms_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        g12 = jnp.dot(
+            fo, e123_ref[...][:, : 2 * dp],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        g1 = g12[:, :dp]
+        g2 = g12[:, dp:]
+        dfo = jax.lax.dot_general(
+            jnp.concatenate(
+                [(gv * gms_v).astype(mm), (rsh * gms_v).astype(mm),
+                 gms_s.astype(mm)],
+                axis=-1,
+            ),
+            e123_ref[...], contract_rhs,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
         # second-order terms
-        cefby = jnp.dot(cef, by_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        r_cot = (
-            jnp.dot(cef, wf_ref[...], preferred_element_type=jnp.float32, precision=prec)
-            + jnp.dot(ef, cwf_ref[...], preferred_element_type=jnp.float32, precision=prec)
+        cwb = jnp.dot(
+            cef, wfby_ref[...], preferred_element_type=jnp.float32, precision=prec
+        )
+        cefby = cwb[:, hp:]
+        r_cot = cwb[:, :hp] + jnp.dot(
+            ef, cwf_ref[...], preferred_element_type=jnp.float32, precision=prec
         )
         a_cot = (cxh * fw + r_cot * gs).astype(mm)
-        ae1 = jnp.dot(a_cot, e1_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        ae2 = jnp.dot(a_cot, e2_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        ams = jnp.dot(a_cot, ms_ref[...], preferred_element_type=jnp.float32, precision=prec)
-        u_cot = (
-            jax.lax.dot_general(
-                (cxv * gms_v).astype(mm), e1_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                (cefby * gms_v).astype(mm), e2_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        a123 = jnp.dot(
+            a_cot, e123_ref[...],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        ae1 = a123[:, :dp]
+        ae2 = a123[:, dp : 2 * dp]
+        ams = a123[:, 2 * dp :]
+        u_cot = jax.lax.dot_general(
+            jnp.concatenate(
+                [(cxv * gms_v).astype(mm), (cefby * gms_v).astype(mm)],
+                axis=-1,
+            ),
+            e123_ref[...][:, : 2 * dp], contract_rhs,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         dfw2 = (dfo * cxh + u_cot * gs).astype(mm)  # cotangent on fw
         dfwr = (dfo * gs).astype(mm)  # cotangent on R (== recomputed dfw)
 
         d2ef_ref[...] = (
             jax.lax.dot_general(
-                dfw2, wf_ref[...], contract_rhs,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + jax.lax.dot_general(
-                (gms_v * ae2).astype(mm), by_ref[...], contract_rhs,
+                jnp.concatenate([dfw2, (gms_v * ae2).astype(mm)], axis=-1),
+                wfby_ref[...], contract_rhs,
                 preferred_element_type=jnp.float32, precision=prec,
             )
             + jax.lax.dot_general(
@@ -777,6 +790,10 @@ def _mega_bwd2_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
+    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
+    wfby = jnp.concatenate(
+        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
+    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
@@ -789,11 +806,8 @@ def _mega_bwd2_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_PACK, hp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, dp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, sdp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_PACK, dp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_PACK, xw), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * dp + sdp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -847,9 +861,8 @@ def _mega_bwd2_call(
         cef.astype(mm),
         g_pad,
         cwf.astype(mm),
-        wf_aug.astype(mm),
-        jnp.asarray(e1, mm), jnp.asarray(e2, mm),
-        jnp.asarray(ms, mm), jnp.asarray(by, mm),
+        wfby,
+        jnp.asarray(e123, mm),
         x_cat.astype(mm),
         cx.astype(mm),
     )
