@@ -318,3 +318,113 @@ def test_model_mega_grad_of_grad(rng):
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=2e-3, atol=2e-4
         )
+
+
+def test_mega_kernels_asymmetric_dims(rng):
+    """fwd/bwd/bwd2 with Hp=384 != Dp=256 != SDp=128.
+
+    The default test config pads every feature group to the same 128
+    lanes, so it cannot catch a mix-up in the kernels' in-kernel dim
+    derivations (hp = e123.shape[0], dp = xw - hp, sdp = cols - dp) or
+    in the merged [Wf|BY] / [E1|E2|MS] operand splits.  This config
+    makes all three distinct."""
+    IR2, NB2, SD2 = "120x0e+24x1o", 8, 16
+    (src2, dst2, src_g, dst_g, cb, nc, ws, window, mx, valid,
+     n_pad, total, bn, chunk) = _slot_problem(rng)
+    irreps = Irreps(IR2)
+    _, _, _, _, (h, hp, d, dp, sdp, n_y) = _structure_matrices(IR2, NB2, SD2)
+    assert (hp, dp, sdp) == (384, 256, 128)
+
+    x_cat = rng.normal(size=(n_pad, hp + dp)).astype(np.float32)
+    x_cat[:, h:hp] = 0.0
+    x_cat[:, hp + d :] = 0.0
+    rbf = rng.normal(size=(total, NB2)).astype(np.float32)
+    fcut = rng.uniform(0.1, 1.0, size=(total, 1)).astype(np.float32)
+    vec = rng.normal(size=(total, 3)).astype(np.float32)
+    ef = np.asarray(pack_edge_features(
+        jnp.asarray(rbf), jnp.asarray(fcut), jnp.asarray(vec), irreps
+    ))
+    wf_aug = np.zeros((128, hp), dtype=np.float32)
+    wf_aug[: NB2 + 1, :h] = rng.normal(size=(NB2 + 1, h)).astype(np.float32)
+    statics = (IR2, NB2, SD2, n_pad, bn, chunk, window, mx, "float32")
+
+    with pltpu.force_tpu_interpret_mode():
+        out = _mega_call(
+            jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+            jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+            jnp.asarray(nc), jnp.asarray(ws), *statics,
+        )
+    want = xla_reference(
+        jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+        jnp.asarray(src_g), jnp.asarray(dst_g), jnp.asarray(valid),
+        IR2, NB2, SD2, n_pad,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    from xequinet_tpu.ops.pallas_message import (
+        _mega_bwd2_call, _mega_bwd_call,
+    )
+
+    g = rng.normal(size=(n_pad, sdp + dp)).astype(np.float32)
+    _, vjp = jax.vjp(
+        lambda x, e, w: xla_reference(
+            x, e, w, jnp.asarray(src_g), jnp.asarray(dst_g),
+            jnp.asarray(valid), IR2, NB2, SD2, n_pad,
+        ),
+        jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+    )
+    want_dx, want_def, want_dwf = vjp(jnp.asarray(g))
+    with pltpu.force_tpu_interpret_mode():
+        dx, def_, dwf = _mega_bwd_call(
+            jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+            jnp.asarray(g),
+            jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+            jnp.asarray(nc), jnp.asarray(ws), *statics,
+        )
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwf), np.asarray(want_dwf),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(def_), np.asarray(want_def),
+                               rtol=1e-4, atol=1e-4)
+
+    # second order: vjp of the xla backward vs the bwd2 kernel
+    cx = rng.normal(size=(n_pad, hp + dp)).astype(np.float32)
+    cef = rng.normal(size=(total, 128)).astype(np.float32)
+    cwf = rng.normal(size=(128, hp)).astype(np.float32)
+
+    def xla_bwd(x, e, w, gg):
+        _, v = jax.vjp(
+            lambda xx, ee, ww: xla_reference(
+                xx, ee, ww, jnp.asarray(src_g), jnp.asarray(dst_g),
+                jnp.asarray(valid), IR2, NB2, SD2, n_pad,
+            ),
+            x, e, w,
+        )
+        return v(gg)
+
+    _, vjp2 = jax.vjp(
+        xla_bwd, jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+        jnp.asarray(g),
+    )
+    want_dx2, want_def2, want_dwf2, want_dg2 = vjp2(
+        (jnp.asarray(cx), jnp.asarray(cef), jnp.asarray(cwf))
+    )
+    with pltpu.force_tpu_interpret_mode():
+        dx2, def2, dwf2, dg2 = _mega_bwd2_call(
+            jnp.asarray(x_cat), jnp.asarray(ef), jnp.asarray(wf_aug),
+            jnp.asarray(g), jnp.asarray(cx), jnp.asarray(cef),
+            jnp.asarray(cwf),
+            jnp.asarray(src2), jnp.asarray(dst2), jnp.asarray(cb),
+            jnp.asarray(nc), jnp.asarray(ws), *statics,
+        )
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(want_dx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwf2), np.asarray(want_dwf2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dg2), np.asarray(want_dg2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(def2)[valid],
+                               np.asarray(want_def2)[valid],
+                               rtol=1e-4, atol=1e-4)
