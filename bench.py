@@ -34,6 +34,8 @@ HISTORY = os.path.join(
 # MXU efficiency
 KERNEL_BN = 512
 KERNEL_CHUNK = 512
+# crystal (PBC) batches: smaller destination blocks — see build_crystal_batch
+CRYSTAL_BN = 128
 
 FLAGSHIP_KW = dict(
     node_dim=128,
@@ -96,8 +98,11 @@ def build_crystal_batch(rng, n_cells=640, cutoff=5.0):
             forces=rng.normal(size=(n, 3)).astype(np.float32),
             virial=rng.normal(size=(3, 3)).astype(np.float32),
         ))
-    layout = {"block_nodes": 256, "chunk": KERNEL_CHUNK, "pad_nodes": 32,
-              "max_chunks": 128}
+    # bn=128 (round-4.2 on-chip sweep at chunk=512: 64 -> 1.643M, 128 ->
+    # 1.652M, 256 -> 1.549M, 512 -> 1.354M edges/s): the narrower one-hot
+    # gather window beats the extra slot padding for 8-16-atom cells
+    layout = {"block_nodes": CRYSTAL_BN, "chunk": KERNEL_CHUNK,
+              "pad_nodes": 32, "max_chunks": 128}
     return collate(dps, kernel_layout=layout)
 
 
@@ -266,7 +271,7 @@ def accuracy_gate():
     crystal = build_crystal_batch(np.random.default_rng(1234), n_cells=64)
     mxc = int(crystal["k_nchunks"].max())
     got["pbc_mega"] = _forward_checksum(
-        {**FLAGSHIP_KW, "pallas_layout": (256, KERNEL_CHUNK, 32, mxc)},
+        {**FLAGSHIP_KW, "pallas_layout": (CRYSTAL_BN, KERNEL_CHUNK, 32, mxc)},
         crystal, compute_virial=True,
     )
     # cross-path consistency: mega vs XLA within the shared bf16 envelope
@@ -338,7 +343,7 @@ def main() -> None:
     crystal_np = build_crystal_batch(rng)
     mx = int(crystal_np["k_nchunks"].max())
     eps_pbc, dt_pbc = _train_step_metric(
-        crystal_np, compute_virial=True, bn=256, max_chunks=mx,
+        crystal_np, compute_virial=True, bn=CRYSTAL_BN, max_chunks=mx,
     )
     _emit("pbc_stress_train_step_edges_per_s", eps_pbc, "edges/s", history)
 
