@@ -109,12 +109,86 @@ def test_halo_train_config_path(tmp_path, rng, dp, gp, periodic):
     assert np.isfinite(out[keys.FORCES]).all()
 
 
-def test_halo_train_rejects_pallas_kwargs(tmp_path, rng):
+def test_halo_train_rejects_v2_kernel(tmp_path, rng):
+    """Only the mega kernels are halo-aware; the v2 scatter kernel's
+    equivariant aggregate bypasses the boundary refresh, so halo
+    training rejects it loudly."""
     db = tmp_path / "db"
     _make_db(db, rng, n_sys=4, n_atoms=64)
     ycfg = tmp_path / "train.yaml"
     _write_yaml(ycfg, db, tmp_path / "run", 1, 8)
     config = load_config(str(ycfg))
-    config.model.model_kwargs["use_pallas_scatter"] = "mega"
-    with pytest.raises(ValueError, match="use_pallas_scatter"):
+    config.model.model_kwargs["use_pallas_scatter"] = "v2"
+    with pytest.raises(ValueError, match="mega"):
         run_train(config)
+
+
+def test_halo_train_rejects_mixed_dataset(tmp_path, rng):
+    """VERDICT r4 item 8 (loud contract, docs/config.md): a dataset
+    mixing periodic and free systems cannot halo-train — the
+    exchange-ring topology is part of the compiled program — and must
+    fail at startup with a clear message, not mid-epoch."""
+    db = tmp_path / "db"
+    dps = []
+    for k in range(4):
+        z, pos = _chain_system(rng, 48)
+        kw = {}
+        if k % 2 == 0:
+            lx = float(pos[:, 0].max() + 1.2)
+            kw = {"cell": np.diag([lx, 14.0, 14.0]),
+                  "pbc": np.array([True, False, False])}
+            pos = pos.copy()
+            pos[:, 0] %= lx
+            pos[:, 1:] += 7.0
+        dps.append(Datapoint(
+            z, pos, energy=0.0,
+            forces=np.zeros((48, 3), np.float32), **kw,
+        ))
+    create_dataset(
+        db, dps, units={keys.TOTAL_ENERGY: "eV"},
+        split={"train": [0, 1], "valid": [2, 3], "test": []},
+    )
+    ycfg = tmp_path / "train.yaml"
+    _write_yaml(ycfg, db, tmp_path / "run", 1, 4)
+    config = load_config(str(ycfg))
+    with pytest.raises(ValueError, match="homogeneous dataset"):
+        run_train(config)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_halo_train_mega_config_path(tmp_path, rng, periodic):
+    """Config-path halo training WITH the mega Pallas kernels
+    (use_pallas_scatter='mega', VERDICT round-4 item 1): the dp x gp
+    mesh runs the fused edge pipeline per shard; the checkpoint embeds
+    the derived pallas_layout and feeds both Calculators."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    db = tmp_path / "db"
+    gp = 4
+    _make_db(db, rng, n_sys=4, n_atoms=40 * gp, periodic=periodic)
+    ycfg = tmp_path / "train.yaml"
+    _write_yaml(ycfg, db, tmp_path / "run", 1, gp)
+    config = load_config(str(ycfg))
+    config.model.model_kwargs["use_pallas_scatter"] = "mega"
+    config.model.model_kwargs["pallas_layout"] = (24, 8, 0, 0)
+    with pltpu.force_tpu_interpret_mode():
+        state = run_train(config)
+    params = state[0]
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # the saved model config carries the derived kernel layout
+    assert config.model.model_kwargs["pallas_layout"][2] > 0
+
+    from xequinet_tpu.parallel.halo import HaloCalculator
+
+    hc = HaloCalculator(
+        str(tmp_path / "run" / "halo_last.ckpt"), n_shards=gp,
+        use_ema=False, pallas="mega", pallas_layout=(24, 8),
+    )
+    z, pos = _chain_system(rng, 40 * gp)
+    with pltpu.force_tpu_interpret_mode():
+        out = hc.calculate(z, pos)
+    assert np.isfinite(out[keys.TOTAL_ENERGY])
+    assert np.isfinite(out[keys.FORCES]).all()

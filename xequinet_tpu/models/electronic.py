@@ -50,10 +50,19 @@ class ChargeEmbedding(nn.Module):
 
         dot = jnp.sum(query * key, axis=-1, keepdims=True)
         attn = nn.softplus(dot / math.sqrt(self.node_dim))
-        attn = jnp.where(node_mask[:, None], attn, 0.0)
+        # the normalizer counts every REAL atom exactly once; under halo
+        # decomposition it is the psum of the per-shard owned-row sums
+        # (scope="graphs").  The per-row numerator stays UNmasked so halo
+        # window rows carry the same embedding as their owning shard's
+        # rows (they are deterministic functions of the row state).
+        attn_masked = jnp.where(node_mask[:, None], attn, 0.0)
         n_graphs = data[keys.GRAPH_MASK].shape[0]
         attn_sum = jnp.take(
-            segment_sum(attn, batch, n_graphs, indices_are_sorted=True), batch, axis=0
+            segment_sum(
+                attn_masked, batch, n_graphs, indices_are_sorted=True,
+                scope="graphs",
+            ),
+            batch, axis=0,
         )
         embed = ResidualLayer(
             node_dim=self.node_dim, n_layers=2, activation=self.activation
@@ -85,9 +94,17 @@ class SpinEmbedding(nn.Module):
 
         dot = jnp.sum(query * key, axis=-1, keepdims=True)
         attn = nn.softplus(dot / math.sqrt(self.node_dim))
-        attn = jnp.where(node_mask[:, None], attn, 0.0)
+        # see ChargeEmbedding: global normalizer (psum under halo),
+        # unmasked per-row numerator for halo-window consistency
+        attn_masked = jnp.where(node_mask[:, None], attn, 0.0)
         n_graphs = data[keys.GRAPH_MASK].shape[0]
-        attn_sum = jnp.take(segment_sum(attn, batch, n_graphs, indices_are_sorted=True), batch, axis=0)
+        attn_sum = jnp.take(
+            segment_sum(
+                attn_masked, batch, n_graphs, indices_are_sorted=True,
+                scope="graphs",
+            ),
+            batch, axis=0,
+        )
         embed = ResidualLayer(
             node_dim=self.node_dim, n_layers=2, activation=self.activation
         )((attn * value) / jnp.maximum(attn_sum, 1e-9))

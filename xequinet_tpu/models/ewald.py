@@ -165,10 +165,18 @@ class EwaldBlock(nn.Module):
 
         real = (jnp.cos(k_dot_r) * sinc)[..., None]  # [N, K, 1]
         imag = (jnp.sin(k_dot_r) * sinc)[..., None]
+        # the structure factors are plain sums over the system's atoms
+        # (reference ewald.py:160-182): under halo decomposition each
+        # shard sums its OWNED rows (node_mask) and the psum over the gp
+        # axis (scope="graphs") reconstructs the exact global factor —
+        # [K, D] bytes of comm per shard, independent of system size.
+        # For PBC k-vectors on the reciprocal lattice, halo-image rows
+        # satisfy k.(r + L) = k.r + 2pi*n, so the back-scattered message
+        # on a halo row equals its owner's exactly.
         sf_real = segment_sum(real * node_res[:, None, :], batch, n_graphs, node_mask
-        , indices_are_sorted=True)  # [G, K, D]
+        , indices_are_sorted=True, scope="graphs")  # [G, K, D]
         sf_imag = segment_sum(imag * node_res[:, None, :], batch, n_graphs, node_mask
-        , indices_are_sorted=True)
+        , indices_are_sorted=True, scope="graphs")
 
         up = nn.Dense(
             self.node_dim,

@@ -233,10 +233,17 @@ class XPainnMessage(nn.Module):
                 neighbor_equi, gate_state_equi, irreps
             ) + scalar_gate(rsh, gate_edge_equi, irreps)
 
+        from ..ops.scatter import _HALO_SPEC, _halo_refresh
+
+        halo_spec = _HALO_SPEC.get()
         message_cat = jnp.concatenate([message_scalar, message_equi], axis=-1)
+        # under halo + v2 kernel the refresh must come AFTER the kernel's
+        # equivariant aggregate is folded in (its halo rows are zero too),
+        # so defer it to one combined refresh below
         agg = segment_sum(
             message_cat, center_idx, n_nodes, edge_mask,
-            indices_are_sorted=True, scope="edges",
+            indices_are_sorted=True,
+            scope="nodes" if (use_kernel and halo_spec is not None) else "edges",
         )
         # named for remat policies: saving the aggregation output lets
         # rematerialization skip recomputing the gather/scatter pipeline
@@ -246,6 +253,8 @@ class XPainnMessage(nn.Module):
             agg = agg.at[..., self.node_dim :].add(
                 equi_state_agg.astype(agg.dtype)
             )
+            if halo_spec is not None:
+                agg = _halo_refresh(agg, *halo_spec)
         data[keys.NODE_INVARIANT] = data[keys.NODE_INVARIANT] + agg[..., : self.node_dim]
         data[keys.NODE_EQUIVARIANT] = (
             data[keys.NODE_EQUIVARIANT] + agg[..., self.node_dim :]
@@ -321,6 +330,17 @@ class XPainnMessage(nn.Module):
             [agg_full[:, : self.node_dim], agg_full[:, sdp : sdp + dim]],
             axis=-1,
         )
+        # halo decomposition (ops.scatter.halo_parallel): the kernel's
+        # edges all target owned rows, so the window's halo rows come out
+        # zero — refresh them from the owning shards by boundary ppermute,
+        # exactly as the XLA path's segment_sum(scope="edges") does.  The
+        # refresh sits OUTSIDE the kernel's custom VJP, so force training
+        # routes halo cotangents back through the ppermute transpose.
+        from ..ops.scatter import _HALO_SPEC, _halo_refresh
+
+        halo_spec = _HALO_SPEC.get()
+        if halo_spec is not None:
+            agg = _halo_refresh(agg, *halo_spec)
         agg = checkpoint_name(agg, "edge_agg")
         agg = agg.astype(data[keys.NODE_INVARIANT].dtype)
         data[keys.NODE_INVARIANT] = (

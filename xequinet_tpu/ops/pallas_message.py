@@ -118,6 +118,36 @@ def _structure_matrices(irreps_str: str, num_basis: int, node_dim: int):
     return e1, e2, ms, by, (h, hp, d, dp, sdp, n_y)
 
 
+@functools.lru_cache(maxsize=None)
+def _merged_structure_matrices(irreps_str: str, num_basis: int, node_dim: int):
+    """(e123, by, dims): the concatenated [E1|E2|MS] operand shared by the
+    forward/backward/second-order kernels (ADVICE r4: single source so the
+    three wrappers cannot drift)."""
+    e1, e2, ms, by, dims = _structure_matrices(irreps_str, num_basis, node_dim)
+    return np.concatenate([e1, e2, ms], axis=1), by, dims
+
+
+def _wfby_operand(wf_aug, by, mm):
+    """[F, Hp+Dp] = [Wf_aug | BY] in the kernel matmul dtype."""
+    return jnp.concatenate([wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1)
+
+
+def _sd_stream(src2, dst2, chunk):
+    """Slot indices as an [n_chunks, 8, chunk] int32 stream: rows 0/1 are
+    window-local src / block-local dst, rows 2-7 zero padding (8 sublanes
+    keep Mosaic on its fast layout path; a (1, 2, C) block hangs its
+    compiler — ROUND4.md Mosaic finding)."""
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)], axis=1
+            ),
+            jnp.zeros((src2.shape[0] // chunk, 6, chunk), jnp.int32),
+        ],
+        axis=1,
+    )
+
+
 def pack_edge_features(
     rbf: jnp.ndarray,  # [T, nb]
     fcut: jnp.ndarray,  # [T, 1]
@@ -239,7 +269,7 @@ def _mega_call(
     irreps_str, num_basis, node_dim,
     n_out, block_nodes, chunk, window, max_chunks, mm_dtype,
 ):
-    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+    e123, by, (h, hp, d, dp, sdp, n_y) = _merged_structure_matrices(
         irreps_str, num_basis, node_dim
     )
     mm = jnp.dtype(mm_dtype)
@@ -256,10 +286,6 @@ def _mega_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
-    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
-    wfby = jnp.concatenate(
-        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
-    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
@@ -290,20 +316,9 @@ def _mega_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        jnp.concatenate(
-            [
-                jnp.stack(
-                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
-                    axis=1,
-                ),
-                jnp.zeros(
-                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
-                ),
-            ],
-            axis=1,
-        ),
+        _sd_stream(src2, dst2, chunk),
         edge_feat.astype(mm),
-        wfby,
+        _wfby_operand(wf_aug, by, mm),
         jnp.asarray(e123, mm),
         x_cat.astype(mm),
     )
@@ -451,7 +466,7 @@ def _mega_bwd_call(
     Per-block window gradients are overlap-added into [N, Hp+Dp] with one
     segment-sum over n_blocks*W rows (~10x fewer rows than slot edges).
     """
-    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+    e123, by, (h, hp, d, dp, sdp, n_y) = _merged_structure_matrices(
         irreps_str, num_basis, node_dim
     )
     mm = jnp.dtype(mm_dtype)
@@ -471,10 +486,6 @@ def _mega_bwd_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
-    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
-    wfby = jnp.concatenate(
-        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
-    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
@@ -515,21 +526,10 @@ def _mega_bwd_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        jnp.concatenate(
-            [
-                jnp.stack(
-                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
-                    axis=1,
-                ),
-                jnp.zeros(
-                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
-                ),
-            ],
-            axis=1,
-        ),
+        _sd_stream(src2, dst2, chunk),
         edge_feat.astype(mm),
         g_pad,
-        wfby,
+        _wfby_operand(wf_aug, by, mm),
         jnp.asarray(e123, mm),
         x_cat.astype(mm),
     )
@@ -770,7 +770,7 @@ def _mega_bwd2_call(
 ):
     """(d2x_cat, d2_edge_feat, d2_wf_aug, d2g) via the second-order
     mega-kernel — force training's grad-of-grad without leaving Pallas."""
-    e1, e2, ms, by, (h, hp, d, dp, sdp, n_y) = _structure_matrices(
+    e123, by, (h, hp, d, dp, sdp, n_y) = _merged_structure_matrices(
         irreps_str, num_basis, node_dim
     )
     mm = jnp.dtype(mm_dtype)
@@ -790,10 +790,6 @@ def _mega_bwd2_call(
 
     const = lambda b, c, *_refs: (0, 0)
 
-    e123 = np.concatenate([e1, e2, ms], axis=1)  # [Hp, 2*Dp+SDp]
-    wfby = jnp.concatenate(
-        [wf_aug.astype(mm), jnp.asarray(by, mm)], axis=1
-    )  # [F, Hp+Dp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks, max_chunks),
@@ -845,23 +841,12 @@ def _mega_bwd2_call(
         ),
     )(
         chunk_base, n_chunks, window_starts,
-        jnp.concatenate(
-            [
-                jnp.stack(
-                    [src2.reshape(-1, chunk), dst2.reshape(-1, chunk)],
-                    axis=1,
-                ),
-                jnp.zeros(
-                    (src2.shape[0] // chunk, 6, chunk), jnp.int32
-                ),
-            ],
-            axis=1,
-        ),
+        _sd_stream(src2, dst2, chunk),
         edge_feat.astype(mm),
         cef.astype(mm),
         g_pad,
         cwf.astype(mm),
-        wfby,
+        _wfby_operand(wf_aug, by, mm),
         jnp.asarray(e123, mm),
         x_cat.astype(mm),
         cx.astype(mm),

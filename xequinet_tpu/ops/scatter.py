@@ -100,6 +100,21 @@ def segment_sum(
     ``indices_are_sorted=True`` is valid for batches from data.batching
     (edges sorted by center; nodes sorted by graph; padding at the top
     index) and unlocks the fast TPU scatter path.
+
+    ``scope`` names what the aggregation means under halo decomposition
+    (:func:`halo_parallel`):
+
+    * ``"nodes"`` — a shard-local reduction (e.g. atomic energies to the
+      shard's energy); no collective, the caller psums where needed.
+    * ``"edges"`` — an edge->node aggregation over the shard window; the
+      halo rows are refreshed from their owning shards by boundary
+      ppermute.
+    * ``"graphs"`` — a graph-GLOBAL sum over atoms (Ewald structure
+      factors, reference ewald.py:160-182; charge/spin attention
+      normalizers, reference electronic.py:30-51).  Each shard owns a
+      window of ONE system, so the exact global sum is the psum of the
+      per-shard partial sums over owned rows (pass NODE_MASK as the
+      mask) — [G, ...] bytes of comm, independent of system size.
     """
     if mask is not None:
         src = jnp.where(_expand(mask, src.ndim), src, 0)
@@ -108,8 +123,11 @@ def segment_sum(
         indices_are_sorted=indices_are_sorted,
     )
     spec = _HALO_SPEC.get()
-    if scope == "edges" and spec is not None:
-        out = _halo_refresh(out, *spec)
+    if spec is not None:
+        if scope == "edges":
+            out = _halo_refresh(out, *spec)
+        elif scope == "graphs":
+            out = jax.lax.psum(out, spec[0])
     return out
 
 

@@ -196,6 +196,144 @@ def halo_partition(
     }
 
 
+def apply_halo_kernel_layout(
+    stacked: Dict[str, np.ndarray],
+    geom: Dict[str, int],
+    layout: Dict[str, int],
+    min_slot_cap: Optional[int] = None,
+    min_max_chunks: Optional[int] = None,
+    slot_cap: Optional[int] = None,
+    max_chunks: Optional[int] = None,
+    margin: float = 1.0,
+) -> Tuple[Dict[str, np.ndarray], int, int]:
+    """Re-lay every shard's edge axis into the block-aligned slot order
+    consumed by the mega Pallas kernels (ops/pallas_message, via
+    ops/pallas_scatter_v2.prepare_v2) — the composition of the repo's two
+    flagship results: the per-shard window subgraph is spatially sorted
+    and local, exactly the banded-window contract the one-hot MXU kernels
+    want, so each shard runs the SAME fused edge pipeline the
+    single-chip path does (replacing the reference hot loop
+    /root/reference/xequinet/nn/xpainn.py:128-161 per shard).
+
+    ``layout`` = {"block_nodes", "chunk"}; ``pad_nodes`` is the halo
+    width (every neighbor of a dst block lies within ``halo`` rows).
+    All shards share one static (n_blocks, max_chunks, slot_cap)
+    geometry so the stacked arrays ride the shard axis of shard_map.
+    ``min_*`` floors keep a caller's running geometry monotone (MD /
+    dataset training: one compiled program); explicit ``slot_cap`` /
+    ``max_chunks`` pin it exactly (raise on overflow).
+
+    Returns ``(stacked2, slot_cap_used, max_chunks_used)``; the model
+    must be built with ``pallas_layout = (block_nodes, chunk, halo,
+    max_chunks_used)``.  The slot order keeps centers sorted, so the XLA
+    message path stays correct on the same batch (eval/fallback).
+    """
+    from ..ops.pallas_scatter_v2 import prepare_v2
+
+    bn = int(layout["block_nodes"])
+    chunk = int(layout["chunk"])
+    h = int(geom["halo"])
+    w = int(geom["window"])
+    kwin = bn + 2 * ((h + 7) // 8) * 8
+    if w < kwin:
+        raise ValueError(
+            f"halo window {w} rows < kernel window {kwin} "
+            f"(block_nodes {bn} + 2*halo {h}): use block_nodes <= "
+            f"n_local ({geom['n_local']})"
+        )
+    n_shards = stacked[keys.EDGE_MASK].shape[0]
+    n_blocks = (w + bn - 1) // bn
+    per = []
+    mx_meas, cap_meas = 1, chunk
+    for d in range(n_shards):
+        real = np.nonzero(stacked[keys.EDGE_MASK][d])[0]
+        dst = stacked[keys.EDGE_INDEX][d, 0, real]
+        src = stacked[keys.EDGE_INDEX][d, 1, real]
+        src2, dst2, sel, cb, nc, ws, _win, mx = prepare_v2(
+            src, dst, w, bn, chunk, h
+        )
+        per.append((src2, dst2, sel, cb, nc, ws, real))
+        mx_meas = max(mx_meas, int(mx))
+        cap_meas = max(cap_meas, len(sel))
+    # margin gives a moving system (MD) head-room so the compiled program
+    # survives density fluctuations (same role as prepare_halo_system's
+    # margin for halo/edge_cap); when the measured need still fits an
+    # existing min_* floor the floor is reused unchanged (monotone, no
+    # re-inflation), otherwise the capacity grows with fresh head-room
+    if min_max_chunks is not None and mx_meas <= int(min_max_chunks):
+        mx_need = int(min_max_chunks)
+    else:
+        mx_need = max(
+            int(np.ceil(mx_meas * margin)), int(min_max_chunks or 0)
+        )
+    if min_slot_cap is not None and cap_meas <= int(min_slot_cap):
+        cap_need = int(min_slot_cap)
+    else:
+        cap_need = max(
+            _ceil_to(int(np.ceil(cap_meas * margin)), chunk),
+            int(min_slot_cap or 0),
+        )
+    if max_chunks is None:
+        max_chunks = mx_need
+    elif mx_meas > max_chunks:
+        raise ValueError(
+            f"halo kernel layout: a shard block needs {mx_meas} chunks > "
+            f"max_chunks {max_chunks}"
+        )
+    if slot_cap is None:
+        slot_cap = cap_need
+    elif cap_meas > slot_cap:
+        raise ValueError(
+            f"halo kernel layout: {cap_meas} slots > slot_cap {slot_cap}"
+        )
+
+    ei2 = np.full((n_shards, 2, slot_cap), w - 1, dtype=np.int32)
+    em2 = np.zeros((n_shards, slot_cap), dtype=bool)
+    src2s = np.zeros((n_shards, slot_cap), dtype=np.int32)
+    dst2s = np.full((n_shards, slot_cap), bn, dtype=np.int32)
+    cbs = np.zeros((n_shards, n_blocks), dtype=np.int32)
+    ncs = np.zeros((n_shards, n_blocks), dtype=np.int32)
+    wss = np.zeros((n_shards, n_blocks), dtype=np.int32)
+    co = stacked.get(keys.CELL_OFFSETS)
+    co2 = (
+        np.zeros((n_shards, slot_cap, 3), dtype=co.dtype)
+        if co is not None
+        else None
+    )
+    for d, (src2, dst2, sel, cb, nc, ws, real) in enumerate(per):
+        t = len(sel)
+        src2s[d, :t] = src2
+        dst2s[d, :t] = dst2
+        cbs[d], ncs[d], wss[d] = cb, nc, ws
+        valid = sel >= 0
+        safe = np.clip(sel, 0, None)
+        # padding slots carry the owning block's boundary node: centers
+        # stay sorted for the XLA fallback on the same batch (see
+        # data.batching._apply_kernel_layout); tail slots past the chunk
+        # coverage are never visited by the kernel grid
+        slot_chunk = np.arange(t) // chunk
+        block_id = np.searchsorted(cb, slot_chunk, side="right") - 1
+        pad_center = np.minimum((block_id + 1) * bn, w - 1)
+        dst_r = stacked[keys.EDGE_INDEX][d, 0, real]
+        src_r = stacked[keys.EDGE_INDEX][d, 1, real]
+        ei2[d, 0, :t] = np.where(valid, dst_r[safe], pad_center)
+        ei2[d, 1, :t] = np.where(valid, src_r[safe], pad_center)
+        em2[d, :t] = valid
+        if co2 is not None:
+            co2[d, :t] = np.where(valid[:, None], co[d][real][safe], 0)
+    out = dict(stacked)
+    out[keys.EDGE_INDEX] = ei2
+    out[keys.EDGE_MASK] = em2
+    if co2 is not None:
+        out[keys.CELL_OFFSETS] = co2
+    out[keys.K_SRC2] = src2s
+    out[keys.K_DST2] = dst2s
+    out[keys.K_CHUNK_BASE] = cbs
+    out[keys.K_NCHUNKS] = ncs
+    out[keys.K_WSTARTS] = wss
+    return out, int(slot_cap), int(max_chunks)
+
+
 def _exchange_window(
     pos_local: Array, axis: str, size: int, nl: int, h: int,
     wrap_shift: Optional[Array] = None,
@@ -784,10 +922,17 @@ class HaloCalculator:
     Residual images on the other axes ride CELL_OFFSETS.
 
     Drop-in for :class:`interface.calculator.Calculator` in the MD
-    driver's ForceField for ``calculate(z, pos[, cell, pbc])``.  Not
-    supported: charge/spin embeddings (a global charge cannot be
-    attributed to one spatial shard) and virial output (use the
+    driver's ForceField for ``calculate(z, pos[, cell, pbc, charge,
+    spin])``.  Ewald models decompose exactly (the k-space structure
+    factors are per-shard partial sums psum'd over the gp axis,
+    models/ewald.py), as do charge/spin attention embeddings
+    (models/electronic.py).  Not supported: virial output (use the
     single-chip Calculator for NPT).
+
+    ``pallas="mega"`` runs each shard's message blocks through the
+    fused one-hot MXU kernels (ops/pallas_message) — the per-shard
+    window is spatially sorted and local, exactly the kernels'
+    banded-window contract (:func:`apply_halo_kernel_layout`).
     """
 
     def __init__(
@@ -797,6 +942,8 @@ class HaloCalculator:
         halo: Optional[int] = None,
         use_ema: bool = True,
         margin: float = 1.3,
+        pallas: Optional[str] = None,
+        pallas_layout: Tuple[int, int] = (256, 1024),
     ) -> None:
         import jax as _jax
 
@@ -805,24 +952,18 @@ class HaloCalculator:
         from ..utils.qc import get_default_units
         from .mesh import make_mesh
 
+        if pallas not in (None, False, "mega", "mega-xb"):
+            raise ValueError(
+                f"pallas={pallas!r}: use None (XLA message path) or "
+                f"'mega'/'mega-xb' (the v2 kernel is not halo-aware)"
+            )
         module, extra, cutoff, blob, mc = load_model_from_checkpoint(
             ckpt_file
         )
-        if mc["model_kwargs"].get("charge_embed") or mc["model_kwargs"].get(
-            "spin_embed"
-        ):
-            raise ValueError(
-                "HaloCalculator does not support charge/spin embeddings"
-            )
-        if "ewald" in str(mc.get("model_name", "")).lower():
-            raise ValueError(
-                "HaloCalculator does not support Ewald models: the "
-                "k-space block is global, not decomposable into "
-                "shard windows"
-            )
         self.module = module
         self.cutoff = float(cutoff)
         self._blob = blob
+        self._mc = mc
         self._use_ema = use_ema
         self.units = get_default_units()
         self.n_shards = int(n_shards or _jax.device_count())
@@ -830,6 +971,10 @@ class HaloCalculator:
         self._halo = halo
         self._edge_cap: Optional[int] = None
         self._margin = margin
+        self._pallas = pallas or None
+        self._k_bn, self._k_chunk = int(pallas_layout[0]), int(pallas_layout[1])
+        self._slot_cap: Optional[int] = None
+        self._mxc: Optional[int] = None
         self._params = None
         self._restore = restore_params
         self._fwd_cache: Dict = {}
@@ -839,6 +984,45 @@ class HaloCalculator:
         if self._params is None:
             from ..models.model import init_params
 
+            # charge/spin-embedded models only create those parameters
+            # when the keys are present — match the checkpoint structure.
+            # PBC-Ewald models read CELL unconditionally at init
+            # (models/ewald.py EwaldInitialPBC), so the probe carries an
+            # inert identity cell.
+            mk = self._mc["model_kwargs"]
+            if (
+                "ewald" in str(self._mc.get("model_name", "")).lower()
+                and mk.get("use_pbc") is not False
+                and keys.CELL not in probe_batch
+            ):
+                n_g = probe_batch[keys.GRAPH_MASK].shape[0]
+                n_e = probe_batch[keys.EDGE_MASK].shape[0]
+                probe_batch = dict(
+                    probe_batch,
+                    **{
+                        keys.CELL: np.broadcast_to(
+                            np.eye(3, dtype=np.float32), (n_g, 3, 3)
+                        ).copy(),
+                        keys.PBC: np.zeros((n_g, 3), bool),
+                        keys.CELL_OFFSETS: np.zeros(
+                            (n_e, 3), np.float32
+                        ),
+                    },
+                )
+            if mk.get("charge_embed"):
+                probe_batch = dict(
+                    probe_batch,
+                    **{keys.TOTAL_CHARGE: np.zeros(
+                        probe_batch[keys.GRAPH_MASK].shape[0], np.int32
+                    )},
+                )
+            if mk.get("spin_embed"):
+                probe_batch = dict(
+                    probe_batch,
+                    **{keys.TOTAL_SPIN: np.zeros(
+                        probe_batch[keys.GRAPH_MASK].shape[0], np.int32
+                    )},
+                )
             params = init_params(self.module, probe_batch)
             key = (
                 "ema_model"
@@ -847,6 +1031,23 @@ class HaloCalculator:
             )
             self._params = self._restore(params, self._blob[key])
         return self._params
+
+    def _shard_module(self, geom, max_chunks):
+        """The module each shard applies: the checkpoint's stack, or its
+        mega-kernel twin built for THIS halo geometry (parameter
+        structures are identical, so the restored params apply as-is)."""
+        if self._pallas is None:
+            return self.module
+        from ..models.model import resolve_model
+
+        kw = dict(self._mc["model_kwargs"])
+        kw["use_pallas_scatter"] = self._pallas
+        kw["pallas_layout"] = (
+            min(self._k_bn, geom["n_local"]), self._k_chunk,
+            geom["halo"], max_chunks,
+        )
+        module, _, _ = resolve_model(self._mc["model_name"], **kw)
+        return module
 
     def calculate(
         self,
@@ -868,8 +1069,31 @@ class HaloCalculator:
                 min_halo=self._halo, min_edge_cap=self._edge_cap,
             )
         )
+        if charge is not None:
+            stacked[keys.TOTAL_CHARGE] = np.full(
+                (self.n_shards, 1), charge, np.int32
+            )
+        if spin is not None:
+            stacked[keys.TOTAL_SPIN] = np.full(
+                (self.n_shards, 1), spin, np.int32
+            )
+        if self._pallas is not None:
+            stacked, self._slot_cap, self._mxc = apply_halo_kernel_layout(
+                stacked, geom,
+                {
+                    "block_nodes": min(self._k_bn, geom["n_local"]),
+                    "chunk": self._k_chunk,
+                },
+                min_slot_cap=self._slot_cap,
+                min_max_chunks=self._mxc,
+                margin=self._margin,
+            )
         z_s, pos_s = z[perm], pos[perm]
-        sig = (geom["n_local"], geom["halo"], self._edge_cap, has_cell)
+        sig = (
+            geom["n_local"], geom["halo"], self._edge_cap, has_cell,
+            charge is not None, spin is not None,
+            self._slot_cap, self._mxc,
+        )
         if sig not in self._fwd_cache:
             from ..data.batching import collate
             from ..data.datapoint import Datapoint
@@ -880,7 +1104,8 @@ class HaloCalculator:
             params = self._ensure_params(
                 collate([Datapoint(z_s[:m], pos_s[:m], edge_index=ei_p)])
             )
-            apply_bound = lambda d: self.module.apply({"params": params}, d)
+            module = self._shard_module(geom, self._mxc)
+            apply_bound = lambda d: module.apply({"params": params}, d)
             self._fwd_cache[sig] = make_halo_forward(
                 apply_bound, self.mesh, geom, GP_AXIS
             )

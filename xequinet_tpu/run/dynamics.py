@@ -639,7 +639,8 @@ def run_md(config: MDConfig, logger=None) -> MDState:
         from ..parallel.halo import HaloCalculator
 
         calc = HaloCalculator(config.model_file,
-                              n_shards=config.halo_devices)
+                              n_shards=config.halo_devices,
+                              pallas=config.pallas)
     else:
         calc = Calculator(config.model_file, compute_virial=needs_virial,
                           pallas=config.pallas, skin=config.skin)

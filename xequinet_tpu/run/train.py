@@ -96,7 +96,15 @@ def run_halo_train(config: XequiConfig, logger=None):
 
     All systems share one compiled geometry: n_local from the largest
     system, halo/edge capacities sized over the whole dataset (+margin),
-    so every epoch reuses a single program.
+    so every epoch reuses a single program.  With
+    ``model_kwargs.use_pallas_scatter = "mega"`` each shard runs the
+    fused one-hot MXU edge pipeline over its sorted window
+    (parallel/halo.apply_halo_kernel_layout; slot/chunk capacities are
+    sized over the dataset and the derived ``pallas_layout`` is written
+    back into the checkpointed model config).  Ewald models and
+    charge/spin embeddings train under halo too — their graph-global
+    sums psum-decompose over the gp axis (models/ewald.py,
+    models/electronic.py).
     """
     from ..parallel.halo import (
         GP_AXIS,
@@ -129,10 +137,13 @@ def run_halo_train(config: XequiConfig, logger=None):
         raise ValueError(
             f"gp_devices={gp} x dp_devices={dp} > {avail} devices"
         )
-    if mc.model_kwargs.get("use_pallas_scatter"):
+    ups = mc.model_kwargs.get("use_pallas_scatter")
+    use_mega = ups in ("mega", "mega-xb")
+    if ups and not use_mega:
         raise ValueError(
-            "halo training runs the XLA message path; unset "
-            "model_kwargs.use_pallas_scatter"
+            "halo training runs the mega kernels "
+            "(use_pallas_scatter='mega'/'mega-xb') or the XLA message "
+            "path; the v2 kernel is not halo-aware"
         )
     if dp > 1:
         mesh = make_mesh(dp * gp, axis_names=("dp", GP_AXIS), shape=(dp, gp))
@@ -145,6 +156,14 @@ def run_halo_train(config: XequiConfig, logger=None):
     probe = XDBDataset(dc.db_path, split="train", split_name=dc.split)
     transform = build_transform_pipeline(
         data_units=probe.units, base_targets=dc.base_targets, cutoff=None,
+        svd_frame=bool(
+            mc.model_kwargs.get("use_pbc") is False
+            and mc.model_name.endswith("ewald")
+        ),
+        vector_targets=[keys.DIPOLE] if keys.DIPOLE in dc.targets else [],
+        atomic_vector_targets=(
+            [keys.FORCES] if keys.FORCES in dc.targets else []
+        ),
     )
     train_set = XDBDataset(dc.db_path, split="train", split_name=dc.split,
                            transform=transform,
@@ -153,6 +172,23 @@ def run_halo_train(config: XequiConfig, logger=None):
                            transform=transform,
                            max_num_samples=dc.max_num_samples)
     logger.info(f"datasets: train={len(train_set)} valid={len(valid_set)}")
+
+    # loud contract, validated BEFORE any partitioning (docs/config.md):
+    # the exchange-ring topology (wrapping vs open boundary ppermute) is
+    # part of the one compiled program all systems share
+    periodic_flags = {
+        bool(ds[i].has_cell and np.any(ds[i].pbc))
+        for ds in (train_set, valid_set)
+        for i in range(len(ds))
+    }
+    if len(periodic_flags) > 1:
+        raise ValueError(
+            "halo training requires a homogeneous dataset (all periodic "
+            "or all free systems): the exchange-ring topology is part of "
+            "the compiled program — split the dataset into a periodic "
+            "and a free run, or train molecule-batched with dp_devices "
+            "(docs/config.md)"
+        )
 
     # ---- one uniform geometry over the whole dataset --------------------
     from ..parallel.halo import _ceil_to
@@ -169,6 +205,19 @@ def run_halo_train(config: XequiConfig, logger=None):
     # past this many systems, re-partition per use instead of holding
     # every padded partition in host memory
     cache_cap = max(64, 8 * dp)
+    # mega kernels under halo (apply_halo_kernel_layout): bn/chunk from
+    # the user layout, clamped so the kernel window fits the shard window
+    # (bn <= n_local); pad_nodes IS the halo width, max_chunks/slot_cap
+    # sized over the dataset like halo0/cap
+    if use_mega:
+        from ..parallel.halo import apply_halo_kernel_layout
+
+        u_bn, u_chunk = tuple(
+            mc.model_kwargs.get("pallas_layout", (256, 1024, 32, 8))
+        )[:2]
+        k_bn = min(int(u_bn), nl_exact)
+        k_chunk = int(u_chunk)
+    mega_state = {"slot_cap": None, "max_chunks": None}
 
     def prep(ds, i):
         nonlocal halo0, cap
@@ -182,6 +231,24 @@ def run_halo_train(config: XequiConfig, logger=None):
                 halo=None, edge_cap=None, margin=tc.halo_margin,
                 nl_exact=nl_exact, min_halo=halo0, min_edge_cap=cap,
             )
+            sig = [halo0, cap]
+            if dpnt.charge is not None:
+                stacked[keys.TOTAL_CHARGE] = np.full(
+                    (gp, 1), dpnt.charge, np.int32
+                )
+            if dpnt.spin is not None:
+                stacked[keys.TOTAL_SPIN] = np.full(
+                    (gp, 1), dpnt.spin, np.int32
+                )
+            if use_mega:
+                stacked, sc, mxc = apply_halo_kernel_layout(
+                    stacked, geom,
+                    {"block_nodes": k_bn, "chunk": k_chunk},
+                    min_slot_cap=mega_state["slot_cap"],
+                    min_max_chunks=mega_state["max_chunks"],
+                )
+                mega_state["slot_cap"], mega_state["max_chunks"] = sc, mxc
+                sig += [sc, mxc]
             f_arr = (
                 np.asarray(dpnt.forces, np.float32)
                 if dpnt.forces is not None
@@ -194,30 +261,43 @@ def run_halo_train(config: XequiConfig, logger=None):
                 scatter_labels_to_shards(stacked, geom, f_sorted),
                 np.zeros(3, np.float32) if wshift is None
                 else np.asarray(wshift, np.float32),
+                tuple(sig),
             )
             if len(preps) > cache_cap:
                 preps.pop(next(k for k in preps if k != key))
         return preps[key]
 
-    # sizing pass: run every system once so halo0/cap reach their maxima,
-    # then re-prepare any early system built with a smaller capacity
-    for ds in (train_set, valid_set):
-        for i in range(len(ds)):
-            prep(ds, i)
-    final = (halo0, cap)
-    for key in list(preps):
-        if preps[key][1]["halo"] != halo0 or len(
-            preps[key][0][keys.EDGE_MASK][0]
-        ) != cap:
-            del preps[key]
-    for ds in (train_set, valid_set):
-        for i in range(len(ds)):
-            prep(ds, i)
-    assert (halo0, cap) == final
+    # sizing passes: run every system so halo0/cap (and, with mega, the
+    # slot/chunk capacities, which depend on the final halo geometry)
+    # reach their maxima; re-prepare any system built with smaller
+    # capacities until every cached partition shares one signature
+    for attempt in range(4):
+        for ds in (train_set, valid_set):
+            for i in range(len(ds)):
+                prep(ds, i)
+        final_sig = (halo0, cap) + (
+            (mega_state["slot_cap"], mega_state["max_chunks"])
+            if use_mega
+            else ()
+        )
+        stale = [k for k in preps if preps[k][5] != final_sig]
+        if not stale:
+            break
+        for k in stale:
+            del preps[k]
+    else:
+        raise AssertionError("halo geometry sizing did not converge")
     geom0 = next(iter(preps.values()))[1]
     logger.info(
         f"halo geometry: n_local={geom0['n_local']} halo={halo0} "
         f"edge_cap={cap}"
+        + (
+            f" kernel(bn={k_bn} chunk={k_chunk} "
+            f"slots={mega_state['slot_cap']} "
+            f"max_chunks={mega_state['max_chunks']})"
+            if use_mega
+            else ""
+        )
     )
 
     periodics = {g[1].get("periodic", False) for g in preps.values()}
@@ -229,7 +309,16 @@ def run_halo_train(config: XequiConfig, logger=None):
         )
 
     # ---- model / optimizer ----------------------------------------------
-    module, extra, _cutoff = resolve_model(mc.model_name, **mc.model_kwargs)
+    model_kwargs = dict(mc.model_kwargs)
+    if use_mega:
+        # the kernels' static layout must match the host slot layout; the
+        # override is written back so checkpoints embed it (Calculator /
+        # HaloCalculator rebuild the same program)
+        model_kwargs["pallas_layout"] = (
+            k_bn, k_chunk, halo0, mega_state["max_chunks"]
+        )
+        mc.model_kwargs = model_kwargs
+    module, extra, _cutoff = resolve_model(mc.model_name, **model_kwargs)
     from ..data.batching import collate
     from ..data.datapoint import Datapoint
     from ..ops.radius_graph import radius_graph_np
@@ -237,12 +326,28 @@ def run_halo_train(config: XequiConfig, logger=None):
     d0 = train_set[0]
     m = min(len(d0.atomic_numbers), 16)
     ei_p, _ = radius_graph_np(np.asarray(d0.pos)[:m], dc.cutoff)
-    params = init_params(
-        module,
-        collate([Datapoint(d0.atomic_numbers[:m], d0.pos[:m],
-                           edge_index=ei_p)]),
-        seed=tc.seed or 0,
-    )
+    # PBC-Ewald models read CELL unconditionally at init
+    # (models/ewald.py EwaldInitialPBC): probe with an inert cell
+    probe_cell = {}
+    if (
+        mc.model_name.endswith("ewald")
+        and model_kwargs.get("use_pbc") is not False
+    ):
+        probe_cell = {"cell": np.eye(3) * 100.0,
+                      "pbc": np.array([True] * 3)}
+    probe = collate([Datapoint(d0.atomic_numbers[:m], d0.pos[:m],
+                               edge_index=ei_p, **probe_cell)])
+    # charge/spin-embedded models only create those parameters when the
+    # keys are present in the init batch
+    if model_kwargs.get("charge_embed"):
+        probe[keys.TOTAL_CHARGE] = np.zeros(
+            probe[keys.GRAPH_MASK].shape[0], np.int32
+        )
+    if model_kwargs.get("spin_embed"):
+        probe[keys.TOTAL_SPIN] = np.zeros(
+            probe[keys.GRAPH_MASK].shape[0], np.int32
+        )
+    params = init_params(module, probe, seed=tc.seed or 0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(f"model {mc.model_name}: {n_params / 1e6:.3f}M parameters")
 
@@ -278,7 +383,7 @@ def run_halo_train(config: XequiConfig, logger=None):
     def valid_loss(params):
         tot = 0.0
         for i in range(len(valid_set)):
-            stacked, geom, e_lbl, f_lbl, wshift = prep(valid_set, i)
+            stacked, geom, e_lbl, f_lbl, wshift = prep(valid_set, i)[:5]
             tot += float(np.asarray(jax.device_get(
                 eval_loss(params, stacked, e_lbl, f_lbl, wshift)
             )).ravel()[0])
@@ -305,7 +410,7 @@ def run_halo_train(config: XequiConfig, logger=None):
                 wshifts = np.stack([it[4] for it in items])
                 state, loss = step(state, stacked, e_lbls, f_lbls, wshifts)
             else:
-                stacked, geom, e_lbl, f_lbl, wshift = items[0]
+                stacked, geom, e_lbl, f_lbl, wshift = items[0][:5]
                 state, loss = step(
                     state, stacked, jnp.asarray(e_lbl), jnp.asarray(f_lbl),
                     wshift,
