@@ -35,25 +35,37 @@ from xequinet_tpu import keys  # noqa: E402
 from xequinet_tpu.utils.config import MDConfig, XequiConfig  # noqa: E402
 
 
-def make_config(db_path: str, save_dir: str, epochs: int) -> XequiConfig:
+def make_config(db_path: str, save_dir: str, epochs: int,
+                node_dim: int = 64, irreps: str = None,
+                num_basis: int = 16, compute_dtype: str = "float32",
+                f32_finetune_epochs: int = 0, mega: bool = False,
+                batch_size: int = 64,
+                run_name: str = "converge") -> XequiConfig:
     cfg = XequiConfig()
     cfg.model.model_name = "xpainn"
     cfg.model.model_kwargs = dict(
-        node_dim=64,
-        node_irreps="64x0e+32x1o+16x2e",
+        node_dim=node_dim,
+        node_irreps=irreps or (
+            f"{node_dim}x0e+{node_dim // 2}x1o+{node_dim // 4}x2e"
+        ),
         embed_basis="one-hot",
-        num_basis=16,
+        num_basis=num_basis,
         action_blocks=3,
         output_modes=["energy"],
         remat=False,
+        compute_dtype=compute_dtype,
+        update_compute_dtype=compute_dtype,
     )
+    if mega:
+        cfg.model.model_kwargs["use_pallas_scatter"] = "mega"
+        cfg.model.model_kwargs["pallas_layout"] = (512, 512, 32, 64)
     cfg.data.db_path = db_path
     cfg.data.cutoff = 5.0
     cfg.data.targets = [keys.TOTAL_ENERGY, keys.FORCES]
-    cfg.data.batch_size = 64
-    cfg.data.valid_batch_size = 128
+    cfg.data.batch_size = batch_size
+    cfg.data.valid_batch_size = 2 * batch_size
     cfg.data.node_shift = True
-    cfg.trainer.run_name = "converge"
+    cfg.trainer.run_name = run_name
     cfg.trainer.save_dir = save_dir
     cfg.trainer.max_epochs = epochs
     cfg.trainer.warmup_epochs = 5
@@ -64,6 +76,7 @@ def make_config(db_path: str, save_dir: str, epochs: int) -> XequiConfig:
     cfg.trainer.seed = 42
     cfg.trainer.log_epochs = 1
     cfg.trainer.best_k = 3
+    cfg.trainer.f32_finetune_epochs = f32_finetune_epochs
     return cfg
 
 
@@ -164,6 +177,15 @@ def main():
     ap.add_argument("--drift-bound", type=float, default=1.0,
                     help="meV/atom/ps")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--node-dim", type=int, default=64)
+    ap.add_argument("--irreps", default=None)
+    ap.add_argument("--num-basis", type=int, default=16)
+    ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument("--f32-finetune-epochs", type=int, default=0)
+    ap.add_argument("--mega", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--run-name", default="converge")
+    ap.add_argument("--skip-md", action="store_true")
     args = ap.parse_args()
 
     from xequinet_tpu.run.test import run_test
@@ -171,8 +193,14 @@ def main():
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    cfg = make_config(args.db_path, str(out), args.epochs)
-    ckpt = str(out / "converge_last.ckpt")
+    cfg = make_config(
+        args.db_path, str(out), args.epochs,
+        node_dim=args.node_dim, irreps=args.irreps,
+        num_basis=args.num_basis, compute_dtype=args.compute_dtype,
+        f32_finetune_epochs=args.f32_finetune_epochs, mega=args.mega,
+        batch_size=args.batch_size, run_name=args.run_name,
+    )
+    ckpt = str(out / f"{args.run_name}_last.ckpt")
     if not args.skip_train:
         print(f"=== training {args.epochs} epochs ===", flush=True)
         run_train(cfg)
@@ -180,16 +208,21 @@ def main():
     print("test metrics:", json.dumps(metrics, default=float), flush=True)
 
     curve = parse_curve(out / cfg.trainer.log_file)
-    rng = np.random.default_rng(7)
-    drift = nve_drift(ckpt, out, args.md_steps, args.timestep,
-                      args.temperature, rng)
-    print("NVE:", json.dumps(drift), flush=True)
+    drift = None
+    if not args.skip_md:
+        rng = np.random.default_rng(7)
+        drift = nve_drift(ckpt, out, args.md_steps, args.timestep,
+                          args.temperature, rng)
+        print("NVE:", json.dumps(drift), flush=True)
 
-    report = {"epochs": args.epochs, "test": metrics,
+    report = {"epochs": args.epochs, "run_name": args.run_name,
+              "model": dict(cfg.model.model_kwargs), "test": metrics,
               "valid_force_mae_curve": curve[-50:], "nve": drift}
     (out / "convergence.json").write_text(
         json.dumps(report, default=float, indent=1)
     )
+    if drift is None:
+        return 0
     if drift["drift_meV_per_atom_per_ps"] > args.drift_bound:
         print(f"FAIL: NVE drift {drift['drift_meV_per_atom_per_ps']:.3f} "
               f"> bound {args.drift_bound}")

@@ -28,13 +28,25 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 # per-element Morse parameters (eV / Angstrom), loosely tracking covalent
-# trends for H, C, N, O
+# trends for H, C, N, O (+ F, P, S with --elements extended)
 ELEMENTS = np.array([1, 6, 7, 8], dtype=np.int32)
-D_E = {1: 0.8, 6: 1.6, 7: 1.4, 8: 1.2}  # well depth, eV
-R_E = {1: 0.9, 6: 1.5, 7: 1.4, 8: 1.3}  # equilibrium radius, Angstrom
-A_E = {1: 2.2, 6: 1.8, 7: 1.9, 8: 2.0}  # stiffness, 1/Angstrom
+ELEMENT_P = [0.4, 0.3, 0.15, 0.15]
+D_E = {1: 0.8, 6: 1.6, 7: 1.4, 8: 1.2,
+       9: 1.0, 15: 1.5, 16: 1.3}  # well depth, eV
+R_E = {1: 0.9, 6: 1.5, 7: 1.4, 8: 1.3,
+       9: 1.2, 15: 1.9, 16: 1.8}  # equilibrium radius, Angstrom
+A_E = {1: 2.2, 6: 1.8, 7: 1.9, 8: 2.0,
+       9: 2.3, 15: 1.6, 16: 1.7}  # stiffness, 1/Angstrom
 C9 = 0.25  # ATM 3-body strength, eV * Angstrom^9
 R_CUT = 5.0
+
+
+def use_extended_elements():
+    """Widen the element set to H,C,N,O,F,P,S (the round-5 flagship
+    convergence study's richer chemistry)."""
+    global ELEMENTS, ELEMENT_P
+    ELEMENTS = np.array([1, 6, 7, 8, 9, 15, 16], dtype=np.int32)
+    ELEMENT_P = [0.34, 0.26, 0.12, 0.12, 0.06, 0.04, 0.06]
 
 
 def _tables():
@@ -87,7 +99,7 @@ def make_energy_fn():
 
 
 def random_cluster(rng, n):
-    z = rng.choice(ELEMENTS, size=n, p=[0.4, 0.3, 0.15, 0.15]).astype(np.int32)
+    z = rng.choice(ELEMENTS, size=n, p=ELEMENT_P).astype(np.int32)
     # sequential insertion with a minimum-distance constraint
     pos = [np.zeros(3)]
     while len(pos) < n:
@@ -104,7 +116,11 @@ def main():
     ap.add_argument("--n", type=int, default=3000)
     ap.add_argument("--atoms", type=int, nargs=2, default=(8, 20))
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--elements", choices=["hcno", "extended"],
+                    default="hcno")
     args = ap.parse_args()
+    if args.elements == "extended":
+        use_extended_elements()
 
     import jax
 
