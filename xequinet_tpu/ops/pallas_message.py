@@ -473,8 +473,13 @@ def _mega_bwd_call(
     n_blocks = (n_out + block_nodes - 1) // block_nodes
     xw = hp + dp
     t_slots = edge_feat.shape[0]
-    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), jnp.float32)
-    g_pad = g_pad.at[:n_out].set(g.astype(jnp.float32))
+    # the cotangent block is gathered per chunk revisit: shipping it
+    # already in the kernel matmul dtype removes a [BN, SDp+Dp] VPU
+    # conversion per chunk (in bf16 mode the dot casts its inputs
+    # anyway, so the math is unchanged; measured neutral on step time,
+    # kept for the smaller VMEM block)
+    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), mm)
+    g_pad = g_pad.at[:n_out].set(g.astype(mm))
 
     def idx_chunk(b, c, *_refs):
         cc = jnp.minimum(c, _refs[1][b] - 1)
@@ -777,8 +782,13 @@ def _mega_bwd2_call(
     n_blocks = (n_out + block_nodes - 1) // block_nodes
     xw = hp + dp
     t_slots = edge_feat.shape[0]
-    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), jnp.float32)
-    g_pad = g_pad.at[:n_out].set(g.astype(jnp.float32))
+    # the cotangent block is gathered per chunk revisit: shipping it
+    # already in the kernel matmul dtype removes a [BN, SDp+Dp] VPU
+    # conversion per chunk (in bf16 mode the dot casts its inputs
+    # anyway, so the math is unchanged; measured neutral on step time,
+    # kept for the smaller VMEM block)
+    g_pad = jnp.zeros((n_blocks * block_nodes, sdp + dp), mm)
+    g_pad = g_pad.at[:n_out].set(g.astype(mm))
 
     def idx_chunk(b, c, *_refs):
         cc = jnp.minimum(c, _refs[1][b] - 1)
