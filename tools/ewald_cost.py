@@ -23,7 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import KERNEL_CHUNK, build_crystal_batch
+    from bench import CRYSTAL_BN, KERNEL_CHUNK, build_crystal_batch
     from xequinet_tpu import keys
     from xequinet_tpu.models.model import (
         init_params, make_apply_forward, resolve_model,
@@ -41,8 +41,10 @@ def main():
                 update_compute_dtype="bfloat16")
     ew = dict(use_pbc=True, num_k_points=[3, 3, 3], projection_dim=8,
               ewald_blocks=1)
+    # layout must match the loader's slot layout (bench.build_crystal_batch
+    # uses CRYSTAL_BN; a mismatch mis-shapes the ghost/window geometry)
     mega = dict(use_pallas_scatter="mega",
-                pallas_layout=(256, KERNEL_CHUNK, 32, mx))
+                pallas_layout=(CRYSTAL_BN, KERNEL_CHUNK, 32, mx))
 
     def timed(name, model_name, kw):
         module, extra, _ = resolve_model(model_name, **kw)
@@ -67,6 +69,30 @@ def main():
     print(f"\nEwald block cost: +{(t1-t0)*1e3:.1f} ms on XLA, "
           f"+{(t3-t2)*1e3:.1f} ms on mega "
           f"({640} cells, 27 k-points, proj 8)")
+
+    # ---- k-point scaling sweep (round 5, VERDICT r4 item 7) ------------
+    # num_k_points = [n,n,n] gives K = ((2n+1)^3 - 1)/2 half-box points.
+    # The dense formulation materializes [N, K, D] products (structure-
+    # factor build + back-scatter, fwd and force-bwd): the analytic HBM
+    # bound below counts those passes; measured-vs-bound says whether
+    # the block is bandwidth-optimal for this formulation.
+    n_atoms = int(batch_np[keys.NODE_MASK].sum())
+    d_dim = base["node_dim"]
+    print("\nK sweep (mega messages):")
+    print(f"{'n':>2} {'K':>4} {'block_ms':>9} {'hbm_bound_ms':>13} "
+          f"{'ms_per_K':>9}")
+    for n_k in (1, 2, 3, 4):
+        K = ((2 * n_k + 1) ** 3 - 1) // 2
+        kw = {**base, **ew, **mega, "num_k_points": [n_k, n_k, n_k]}
+        t = timed(f"ewald mega n={n_k} (K={K})", "xpainn-ewald", kw)
+        block_ms = (t - t2) * 1e3
+        # [N,K,D] f32 passes: fwd sf product + 2x filt/back-scatter, and
+        # the same three transposed in the force backward (grad through
+        # cos/sin stays [N,K])
+        nkd_bytes = n_atoms * K * d_dim * 4
+        bound_ms = 6 * nkd_bytes / 819e9 * 1e3
+        print(f"{n_k:>2} {K:>4} {block_ms:>9.1f} {bound_ms:>13.1f} "
+              f"{block_ms / K:>9.3f}", flush=True)
 
 
 if __name__ == "__main__":
